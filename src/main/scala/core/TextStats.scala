@@ -1,0 +1,77 @@
+package core
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+/** Normative text statistics (SURVEY.md §3.3 definitions). These functions
+  * are THE semantics; the Spark Column tier re-expresses them with the same
+  * java.util.regex patterns (Spark's regexp_* run java.util.regex too) and
+  * equality is enforced by property tests (SURVEY.md §6.3(d)).
+  *
+  * All rules operate on `textN = if (text == null) "" else text` — the null
+  * normalization is pinned here so oracle and pipeline agree on null inputs.
+  */
+object TextStats {
+  /** Word separator, normative Java regex (SURVEY.md §3.3). */
+  final val WordSep = "[^\\p{L}\\p{N}]+"
+  /** Symbol = not letter, not digit, not whitespace (one code point). */
+  final val SymbolRe = "[^\\p{L}\\p{N}\\s]"
+  /** ASCII digit (pinned: NOT \\d-with-unicode, NOT \\p{N}). */
+  final val DigitRe = "[0-9]"
+
+  private val wordSepP = Pattern.compile(WordSep)
+  private val symbolP  = Pattern.compile(SymbolRe)
+  private val digitP   = Pattern.compile(DigitRe)
+
+  def norm(text: String): String = if (text == null) "" else text
+
+  /** Unicode code-point count == Spark `length()` on UTF8String. */
+  def cpLen(text: String): Int = {
+    val t = norm(text)
+    t.codePointCount(0, t.length)
+  }
+
+  /** Lowercased words, empties removed (SURVEY.md §3.3 `words`). */
+  def words(text: String): Array[String] =
+    wordSepP.split(norm(text).toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+
+  def wordCount(text: String): Int = words(text).length
+
+  /** Consecutive word bigrams joined by a single space. */
+  def bigrams(ws: Array[String]): Array[String] =
+    if (ws.length < 2) Array.empty
+    else Array.tabulate(ws.length - 1)(i => ws(i) + " " + ws(i + 1))
+
+  /** 1 − distinct(bigrams)/total(bigrams); 0.0 when no bigrams. */
+  def repRatio(text: String): Double = {
+    val bg = bigrams(words(text))
+    if (bg.isEmpty) 0.0
+    else 1.0 - bg.distinct.length.toDouble / bg.length.toDouble
+  }
+
+  def bigramCount(text: String): Int = {
+    val n = wordCount(text); if (n < 2) 0 else n - 1
+  }
+
+  private def countMatches(p: Pattern, s: String): Int = {
+    val m = p.matcher(s)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  /** #code points that are neither letter nor digit nor whitespace. */
+  def symbolCount(text: String): Int = countMatches(symbolP, norm(text))
+
+  def symbolRatio(text: String): Double = {
+    val n = cpLen(text)
+    if (n == 0) 0.0 else symbolCount(text).toDouble / n.toDouble
+  }
+
+  def digitCount(text: String): Int = countMatches(digitP, norm(text))
+
+  def digitRatio(text: String): Double = {
+    val n = cpLen(text)
+    if (n == 0) 0.0 else digitCount(text).toDouble / n.toDouble
+  }
+}

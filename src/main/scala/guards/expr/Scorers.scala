@@ -1,0 +1,52 @@
+package guards.expr
+
+import core.{ByteLM, LangId, Murmur3, Scrub}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static scoring entry points called from generated code (the codegen
+  * Expression tier, SURVEY.md §3.8 row 51). Models are JVM-wide lazy
+  * singletons built deterministically from embedded constants — every
+  * executor materializes an identical model with no broadcast traffic
+  * (the broadcast variant lives in guards.Scoring for the
+  * mapPartitions-batched tier).
+  *
+  * `langLabel`/`langConf` share one scoring pass per row via a thread-local
+  * memo keyed on a defensive copy of the input bytes (generated code may
+  * evaluate the two projections independently; UnsafeRow memory is reused
+  * across rows, hence the clone).
+  */
+object Scorers {
+  private final class Memo(var key: UTF8String, var lang: UTF8String, var conf: Double)
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo(null, null, 0.0)
+  }
+
+  private def scorePair(u: UTF8String): Memo = {
+    val m = memo.get()
+    if (m.key == null || !m.key.equals(u)) {
+      val (lang, conf) = LangId.model.score(if (u == null) "" else u.toString)
+      m.key = if (u == null) UTF8String.EMPTY_UTF8 else u.clone()
+      m.lang = UTF8String.fromString(lang)
+      m.conf = conf
+    }
+    m
+  }
+
+  def langLabel(u: UTF8String): UTF8String = scorePair(u).lang
+  def langConf(u: UTF8String): Double = scorePair(u).conf
+
+  def ppl(u: UTF8String): Double =
+    ByteLM.model.perplexity(if (u == null) "" else u.toString)
+
+  def scrub(u: UTF8String): UTF8String =
+    UTF8String.fromString(Scrub(if (u == null) "" else u.toString))
+
+  /** Logical resume-partition id: pmod(pinned-Murmur3(conv_id), nParts)
+    * (SURVEY.md §8.6 — label-path hashing never uses Spark's hash()).
+    */
+  def convPartId(u: UTF8String, nParts: Int): Int = {
+    val h = Murmur3.hash(u.getBytes)
+    val m = h % nParts
+    if (m < 0) m + nParts else m
+  }
+}

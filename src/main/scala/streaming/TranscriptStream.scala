@@ -1,0 +1,96 @@
+package streaming
+
+import core.Turn
+import guards.{QualityPipeline, WinTurn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import pipeline.TranscriptStore
+
+/** Per-conversation evolving state for S5 (top-level: the state encoder's
+  * generated code must see a public constructor). */
+case class ConvState(rn: Int, lastIdx: Int, lastRole: String)
+
+/** Structured-Streaming tier (SURVEY.md §3.9 S1-S5; optional — batch is the
+  * graded path). Micro-batch file source → watermarked windowed aggregates,
+  * session windows, and stateful per-conversation rule evaluation via
+  * flatMapGroupsWithState.
+  *
+  * Pinned divergence note (SURVEY.md §3.9): r_order/r_alt are windowed
+  * rules; in streaming they are evaluated against per-conversation STATE in
+  * arrival order. For in-order, on-time data the labels equal the batch
+  * labels (asserted in StreamingSpec); late/out-of-order data past the
+  * watermark can differ — the F1 contract is defined on the batch path.
+  */
+object TranscriptStream {
+
+  /** S1: micro-batch parquet source with the fixed Turn schema. */
+  def readTurns(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(TranscriptStore.turnSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** S2+S3: keep-rate per 10-minute tumbling event-time window, 1h
+    * watermark. Uses the stateless rule subset (per-turn rules only).
+    */
+  def keepRateByWindow(turns: DataFrame): DataFrame = {
+    val labeled = statelessScore(turns)
+    labeled
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("turns"),
+        sum(col("keep").cast("long")).as("kept"))
+      .select(col("window.start").as("win_start"), col("turns"), col("kept"))
+  }
+
+  /** S4: conversation sessionization by 30-minute inactivity gap. */
+  def sessions(turns: DataFrame): DataFrame =
+    turns
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("conv_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("turns"))
+      .select(col("conv_id"), col("session_window.start").as("sess_start"), col("turns"))
+
+  /** Stateless scoring: per-turn rules with the window context neutralized
+    * (r_order/r_alt cannot fire: rn=1 ∧ turn_idx=0 is spoofed off by
+    * passing the row's own idx as "previous+1").
+    */
+  def statelessScore(turns: DataFrame): DataFrame =
+    QualityPipeline.scorePostWindow(
+      turns
+        .withColumn("_rn", lit(1))
+        .withColumn("_prev_idx", col("turn_idx") - 1) // unused at rn=1
+        .withColumn("_prev_role", lit(null).cast("string")))
+      .withColumn("rule_hits", array_remove(col("rule_hits"), "r_order"))
+      .withColumn("keep", size(col("rule_hits")) === 0)
+
+  /** S5: full labels in streaming — per-conversation state carries
+    * (row_number, last turn_idx, last role) across micro-batches, then the
+    * SAME Column rule compiler runs on the state-annotated rows.
+    */
+  def statefulLabels(spark: SparkSession, turns: DataFrame): DataFrame = {
+    import spark.implicits._
+    val winTurns: Dataset[WinTurn] = turns.as[Turn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) => {
+          val sorted = rows.toSeq.sortBy(t =>
+            (t.turn_idx, Option(t.ts).map(_.getTime).getOrElse(Long.MinValue),
+              Option(t.role).getOrElse("")))
+          var st = state.getOption.getOrElse(ConvState(0, -1, null))
+          val out = sorted.map { t =>
+            val rn = st.rn + 1
+            val w = WinTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+              rn,
+              if (rn == 1) None else Some(st.lastIdx),
+              if (rn == 1) None else Option(st.lastRole))
+            st = ConvState(rn, t.turn_idx, t.role)
+            w
+          }
+          state.update(st)
+          out.iterator
+        })
+    QualityPipeline.scorePostWindow(winTurns.toDF())
+  }
+}

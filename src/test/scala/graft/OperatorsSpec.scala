@@ -1,0 +1,108 @@
+package graft
+
+import core.VecOps
+import operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the training-data operators (dedup / ANN / multimodal)
+  * that have no SQL-expressible DuckDB oracle — each is checked against a
+  * plain-Scala computation or an invariance property.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Fixture docs + planted duplicates: every doc_id < 20 is duplicated at
+    * doc_id+100000 (exact) and every doc_id < 10 near-duplicated at
+    * doc_id+200000 (one word appended — high but non-1.0 Jaccard).
+    */
+  private def docs = {
+    val base = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    base
+      .unionByName(base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+  }
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash-LSH finds every exact-duplicate pair with jaccard 1.0") {
+    val dupPairs = docs.groupBy("text")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect()
+      .flatMap { r =>
+        val ids = r.getSeq[Long](1)
+        for { i <- ids.indices; j <- (i + 1) until ids.length } yield (ids(i), ids(j))
+      }.toSet
+    info(s"${dupPairs.size} exact-dup pairs in fixture")
+    val found = Dedup.nearDuplicates(docs, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(found),
+      s"missing: ${(dupPairs -- found).take(5)}")
+  }
+
+  test("minhash-LSH finds the planted near-duplicates (suffix-mutated)") {
+    val found = Dedup.nearDuplicates(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = (0L until 10L).map(i => (i, i + 200000L)).filterNot(found.contains)
+    assert(missing.isEmpty, s"missing near-dup pairs: $missing")
+  }
+
+  test("simhash: exact duplicates have hamming 0") {
+    val dupPair = docs.groupBy("text")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).limit(1)
+      .collect().headOption.map(_.getSeq[Long](1))
+    assume(dupPair.nonEmpty)
+    val found = Dedup.simhashDuplicates(docs, 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val p = (dupPair.get(0), dupPair.get(1))
+    assert(found.get(p).contains(0), s"pair $p not found with hamming 0: $found")
+  }
+
+  test("fingerprint groups contain the exact duplicates") {
+    val nDupTexts = docs.groupBy("text").count().filter(col("count") > 1).count()
+    val groups = Dedup.fingerprintGroups(docs).count()
+    assert(groups >= nDupTexts)
+  }
+
+  test("brute-force cosine top-k matches a plain-Scala oracle") {
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val queries = all.filter(_._1 < 10)
+    val expected = queries.flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (id, v) => (id, VecOps.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("IVF ANN recall@5 vs brute force is measured and reasonable") {
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.4, s"recall $recall") // approximate by design; measured, not assumed
+  }
+
+  test("multimodal feature extraction: schema, batch shape, determinism") {
+    val media = Multimodal.synthesizeMedia(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.feat.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.batch_size >= 1 && f.batch_size <= Multimodal.BatchSize))
+    // determinism under repartition
+    val feats2 = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
+    assert(feats.map(f => f.doc_id -> f.feat.toSeq).toMap ==
+      feats2.map(f => f.doc_id -> f.feat.toSeq).toMap)
+  }
+}
