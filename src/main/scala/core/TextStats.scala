@@ -74,4 +74,32 @@ object TextStats {
     val n = cpLen(text)
     if (n == 0) 0.0 else digitCount(text).toDouble / n.toDouble
   }
+
+  /** All per-text statistics the rule set needs, in one pass. */
+  final case class Stats(
+      cp: Int, nWords: Int, nBigrams: Int, nBigramsDistinct: Int,
+      symbols: Int, digits: Int)
+
+  /** One-pass stats computation (the hot-path entry point: the Spark
+    * codegen expression tier calls THIS, so pipeline and oracle share the
+    * identical implementation).
+    */
+  def stats(text: String): Stats = {
+    val t = norm(text)
+    val ws = words(t)
+    val nBg = if (ws.length < 2) 0 else ws.length - 1
+    val nBgd =
+      if (nBg == 0) 0
+      else {
+        val seen = new java.util.HashSet[String](nBg * 2)
+        var i = 0
+        var d = 0
+        while (i < nBg) {
+          if (seen.add(ws(i) + " " + ws(i + 1))) d += 1
+          i += 1
+        }
+        d
+      }
+    Stats(cpLen(t), ws.length, nBg, nBgd, symbolCount(t), digitCount(t))
+  }
 }

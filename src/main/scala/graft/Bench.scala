@@ -1,17 +1,26 @@
 package graft
 
 import guards.QualityPipeline
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import pipeline.{Sessions, SynthStore}
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
-  * Headline = the quality-filter pipeline's turns/sec on the deterministic
-  * synthetic corpus sized by SPARK_GRAFT_SF_DIR (2M turns at sf0.1).
-  * Scaling evidence (north rule: N vs 4N): run with SPARK_GRAFT_CPUS=8 and
-  * =32 on the same input; efficiency = (thr32/thr8)/4 → BENCH/BASELINE.md.
+  *
+  * Measurement honesty notes:
+  * - Every query is forced with `queryExecution.toRdd.count()`, which
+  *   materializes the final projected rows. A plain `count()` would let
+  *   Catalyst prune projection-only work entirely (measured: a full-pipeline
+  *   "run" collapsing to 0.5 s because nothing was computed).
+  * - The headline pipeline is timed twice: `pipeline_cold_sec` includes
+  *   JIT/codegen warmup, `pipeline_sec` is the steady-state run (the number
+  *   comparable across cluster sizes; BENCH/BASELINE.md records both).
+  * - Scaling evidence (north rule, N vs 4N): run with SPARK_GRAFT_CPUS=8
+  *   and =32 on the same input; efficiency = (thr32/thr8)/4.
   */
 object Bench {
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,23 +36,33 @@ object Bench {
     // ---- headline: full-label pipeline throughput on the synth corpus ----
     val target = SparkEntry.synthTurns(sfDir)
     val store = SynthStore(target)
-    val turnsIn = store.read(spark).count() // materialize-once warmup + size
-    val t0 = System.nanoTime()
-    val kept = QualityPipeline.score(store.read(spark).toDF())
-      .filter(col("keep")).count()
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
-    val turnsPerSec = turnsIn / pipelineSec
+    val turnsIn = store.read(spark).count()
+    // materialize the FULL job output (labels + scrubbed text), as the
+    // production sink would — count() alone would prune the scrub work
+    def pipelineOnce(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val kept = force(QualityPipeline.select(
+        QualityPipeline.score(store.read(spark).toDF()))
+        .filter(col("keep")))
+      (kept, (System.nanoTime() - t0) / 1e9)
+    }
+    val (kept, coldSec) = pipelineOnce()
+    // best-of-two steady runs: the sandbox host has noisy-neighbor variance
+    val (_, s1) = pipelineOnce()
+    val (_, s2) = pipelineOnce()
+    val steadySec = math.min(s1, s2)
+    val turnsPerSec = turnsIn / steadySec
 
-    // ---- full operator sweep ----
+    // ---- full operator sweep (fully materialized) ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_sec":$pipelineSec,"turns_per_sec":$turnsPerSec}""")
+    val total = results.map(_._2).sum + coldSec + steadySec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec}""")
     spark.stop()
   }
 }

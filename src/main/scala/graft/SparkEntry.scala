@@ -54,7 +54,10 @@ object SparkEntry {
     }),
     "q_pipeline_mp" -> ((s, dir) => {
       Sessions.tune(s)
-      Scoring.scoreBatched(s, SynthStore(synthTurns(dir)).read(s).toDF())
+      // the broadcast-model comparison tier runs at 1/4 corpus size: it
+      // exists to prove tier equivalence + amortized model shipping, not to
+      // re-benchmark the whole corpus a third time
+      Scoring.scoreBatched(s, SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
         .toDF()
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("rule_hits")).as("rule_hits"))
@@ -274,6 +277,49 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // ---------------- typed UDAF / approx / ranking / cube / edit distance ----
+    "q_udaf_pricing" -> ((s, dir) => {
+      val priceStats = udaf(operators.Aggregators.PriceStats)
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(priceStats(col("o_totalprice")).as("ps"))
+        .select(col("o_orderstatus"), col("ps.n").as("n"), col("ps.cents").as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_udaf_convstats" -> ((s, dir) => {
+      // typed-Dataset aggregator path: KeyValueGroupedDataset.agg(toColumn)
+      SynthStore(synthTurns(dir)).read(s)
+        .groupByKey(_.conv_id)(org.apache.spark.sql.Encoders.STRING)
+        .agg(operators.Aggregators.ConvStats.toColumn.name("cs"))
+        .toDF("conv_id", "cs")
+        .select(count(lit(1)).as("n_convs"), sum(col("cs.nTurns")).as("n_turns"),
+          max(col("cs.maxIdx")).as("max_idx"))
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("lang", "quartile")
+        .agg(count(lit(1)).as("n"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "quartile")
+    }),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("lang"), lit("_all")).as("lang"),
+          coalesce(col("source"), lit("_all")).as("source"), col("n"))
+        .orderBy("lang", "source")),
+    "q_levenshtein" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(lower(col("p_name")), lower(col("p_type"))).as("dist"))
+        .orderBy("p_partkey")),
+
     // ---------------- token counting / quality scoring (oracle-checked) ----
     "q_tokens" -> ((s, dir) =>
       operators.TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
@@ -382,6 +428,23 @@ object SparkEntry {
     "q_dedup_first" ->
       """SELECT count(*) AS n FROM (
         |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text)""".stripMargin,
+    "q_udaf_pricing" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_ntile" ->
+      """SELECT lang, quartile, count(*) AS n, max(n_chars) AS max_chars FROM (
+        |  SELECT lang, n_chars,
+        |    ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+        |  FROM documents)
+        |GROUP BY lang, quartile ORDER BY lang, quartile""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(lang, '_all') AS lang, coalesce(source, '_all') AS source,
+        | count(*) AS n
+        |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
+    "q_levenshtein" ->
+      """SELECT p_partkey, levenshtein(lower(p_name), lower(p_type)) AS dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,

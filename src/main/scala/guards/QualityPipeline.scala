@@ -31,11 +31,10 @@ object QualityPipeline {
     * _prev_role). Shared by the Column tier and the salted scale path.
     */
   def scorePostWindow(withWin: DataFrame): DataFrame = {
-    val tn = Rules.textN(col("text"))
-    val scoredCols = withWin
-      .withColumn("lang", ScoreFns.langIdLabel(tn))
-      .withColumn("lang_conf", ScoreFns.langIdConf(tn))
-      .withColumn("ppl", ScoreFns.bytePerplexity(tn))
+    val scoredCols = Rules.withStats(withWin)
+      .withColumn("lang", ScoreFns.langIdLabel(col("_tn")))
+      .withColumn("lang_conf", ScoreFns.langIdConf(col("_tn")))
+      .withColumn("ppl", ScoreFns.bytePerplexity(col("_tn")))
     val rules = Rules.all(
       col("text"), col("role"), col("tool"), col("turn_idx"),
       col("_rn"), col("_prev_idx"), col("_prev_role"),
@@ -43,8 +42,9 @@ object QualityPipeline {
     scoredCols
       .withColumn("rule_hits", Rules.ruleHits(rules))
       .withColumn("keep", size(col("rule_hits")) === 0)
-      .withColumn("scrubbed_text", ScoreFns.scrubText(tn))
+      .withColumn("scrubbed_text", ScoreFns.scrubText(col("_tn")))
       .drop("_rn", "_prev_idx", "_prev_role")
+      .drop(Rules.StatCols: _*)
   }
 
   /** Output projection matching core.ScoredTurn field order. */

@@ -50,18 +50,41 @@ object Rules {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** The pinned rule set of SURVEY.md §3.3 as Column predicates. */
+  /** Stage 1 of the rule path: attach the text statistics as named columns
+    * computed by the one-pass codegen expression tier
+    * (core.TextStats.stats via guards.expr.TextStatField, memoized per
+    * row). CRITICAL for performance: expressing words/bigrams with Spark's
+    * lambda higher-order functions (transform/filter) is interpreted-only
+    * (CodegenFallback) AND re-evaluates the whole split subtree per array
+    * element — O(words²) regex work per row (measured: ~1000× slower).
+    * The HOF formulation survives in wordsCol/bigramsCol for the
+    * DuckDB-checkable queries and the semantic cross-check suite.
+    */
+  def withStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import guards.expr.ScoreFns.textStat
+    val tn = textN(col("text"))
+    df.withColumn("_tn", tn)
+      .withColumn("_cp", textStat(col("_tn"), 0))
+      .withColumn("_nw", textStat(col("_tn"), 1))
+      .withColumn("_nbg", textStat(col("_tn"), 2))
+      .withColumn("_nbgd", textStat(col("_tn"), 3))
+      .withColumn("_sym", textStat(col("_tn"), 4))
+      .withColumn("_dig", textStat(col("_tn"), 5))
+  }
+
+  final val StatCols = Seq("_tn", "_cp", "_nw", "_nbg", "_nbgd", "_sym", "_dig")
+
+  /** The pinned rule set of SURVEY.md §3.3 as Column predicates over the
+    * materialized stat columns of `withStats` plus window/scoring columns.
+    */
   def all(
       text: Column, role: Column, tool: Column, turnIdx: Column,
       rn: Column, prevIdx: Column, prevRole: Column,
       lang: Column, langConf: Column, ppl: Column): Seq[GuardRule] = {
-    val tn = textN(text)
-    val cp = cpLen(tn)
-    val ws = wordsCol(tn)
-    val nWords = size(ws)
-    val bg = bigramsCol(ws)
-    val nBg = size(bg)
-    val repRatio = lit(1.0) - size(array_distinct(bg)).cast("double") / nBg.cast("double")
+    val cp = col("_cp")
+    val nWords = col("_nw")
+    val nBg = col("_nbg")
+    val repRatio = lit(1.0) - col("_nbgd").cast("double") / nBg.cast("double")
     val t = lit(true)
 
     Seq(
@@ -71,9 +94,9 @@ object Rules {
       GuardRule("r_words", t, nWords >= MinWords && nWords <= MaxWords),
       GuardRule("r_rep", nBg >= MinBigramsForRep, repRatio <= MaxRepRatio),
       GuardRule("r_sym", cp >= MinCpLenForRatio,
-        symbolCount(tn).cast("double") / cp.cast("double") <= MaxSymbolRatio),
+        col("_sym").cast("double") / cp.cast("double") <= MaxSymbolRatio),
       GuardRule("r_digit", cp >= MinCpLenForRatio,
-        digitCount(tn).cast("double") / cp.cast("double") <= MaxDigitRatio),
+        col("_dig").cast("double") / cp.cast("double") <= MaxDigitRatio),
       GuardRule("r_role", t, role.isInCollection(RolesSorted)),
       GuardRule("r_tool", role <=> "tool", tool.isNotNull && length(tool) > 0),
       GuardRule("r_order", t,

@@ -60,6 +60,20 @@ case class ScrubText(child: Expression) extends ScorerExpression {
   override def prettyName: String = "scrub_text"
 }
 
+/** One field of the one-pass core.TextStats.stats (memoized per row; six
+  * of these share one stats computation). Field ids: 0=cp 1=nWords
+  * 2=nBigrams 3=nBigramsDistinct 4=symbols 5=digits.
+  */
+case class TextStatField(child: Expression, field: Int) extends ScorerExpression {
+  override def dataType: DataType = IntegerType
+  override protected def callTemplate = s"guards.expr.Scorers.statField(%s, $field)"
+  override protected def nullSafeEval(input: Any): Any =
+    Scorers.statField(input.asInstanceOf[UTF8String], field)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = s"text_stat_$field"
+}
+
 /** pmod(pinned-Murmur3-32(conv_id), nParts) — the logical resume partition. */
 case class ConvPartId(child: Expression, nParts: Int) extends ScorerExpression {
   override def dataType: DataType = IntegerType
@@ -76,6 +90,7 @@ object ScoreFns {
   private def c(e: Expression): Column = GraftSqlShim.column(e)
   private def e(col: Column): Expression = GraftSqlShim.expression(col)
 
+  def textStat(text: Column, field: Int): Column = c(TextStatField(e(text), field))
   def langIdLabel(text: Column): Column = c(LangIdLabel(e(text)))
   def langIdConf(text: Column): Column = c(LangIdConf(e(text)))
   def bytePerplexity(text: Column): Column = c(BytePerplexity(e(text)))

@@ -1,6 +1,6 @@
 package guards.expr
 
-import core.{ByteLM, LangId, Murmur3, Scrub}
+import core.{ByteLM, LangId, Murmur3, Scrub, TextStats}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static scoring entry points called from generated code (the codegen
@@ -34,6 +34,30 @@ object Scorers {
 
   def langLabel(u: UTF8String): UTF8String = scorePair(u).lang
   def langConf(u: UTF8String): Double = scorePair(u).conf
+
+  // ---- one-pass text stats (rule inputs), memoized like the langid pair:
+  // six scalar projections share one TextStats.stats computation per row ----
+  private final class StatsMemo(var key: UTF8String, var s: TextStats.Stats)
+  private val statsMemo = new ThreadLocal[StatsMemo] {
+    override def initialValue(): StatsMemo = new StatsMemo(null, null)
+  }
+
+  /** field: 0=cp 1=nWords 2=nBigrams 3=nBigramsDistinct 4=symbols 5=digits */
+  def statField(u: UTF8String, field: Int): Int = {
+    val m = statsMemo.get()
+    if (m.key == null || !m.key.equals(u)) {
+      m.s = TextStats.stats(if (u == null) "" else u.toString)
+      m.key = if (u == null) UTF8String.EMPTY_UTF8 else u.clone()
+    }
+    field match {
+      case 0 => m.s.cp
+      case 1 => m.s.nWords
+      case 2 => m.s.nBigrams
+      case 3 => m.s.nBigramsDistinct
+      case 4 => m.s.symbols
+      case _ => m.s.digits
+    }
+  }
 
   def ppl(u: UTF8String): Double =
     ByteLM.model.perplexity(if (u == null) "" else u.toString)
