@@ -277,6 +277,44 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // ---------------- more window/set/array/map coverage ----
+    "q_window_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("roll", sum("value").over(w))
+        .select(col("event_id"), cents(col("roll")).as("roll_cents"))
+        .orderBy("event_id")
+    }),
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .agg(count(lit(1)).as("n"))),
+    "q_word_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          x => length(x) > 0)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(25)),
+    "q_map_hist" -> ((s, dir) => {
+      // MapType round-trip: per-user event_type histogram as a map column,
+      // then re-exploded — net result oracle-checkable as a plain groupBy
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("c"))))).as("hist"))
+        .select(col("user_id"), explode(col("hist")).as(Seq("event_type", "n")))
+        .orderBy("user_id", "event_type")
+    }),
+    "q_rulehits_sketch" -> ((s, dir) => {
+      // ⚙️ TypedImperativeAggregate: one-pass rule-hit map, no explode shuffle
+      Sessions.tune(s)
+      val scored = QualityPipeline.score(SynthStore(synthTurns(dir)).read(s).toDF())
+      scored.agg(guards.expr.RuleHitCounts(col("rule_hits")).as("hits"))
+        .select(explode(col("hits")).as(Seq("rule", "hits")))
+        .orderBy("rule")
+    }),
+
     // ---------------- typed UDAF / approx / ranking / cube / edit distance ----
     "q_udaf_pricing" -> ((s, dir) => {
       val priceStats = udaf(operators.Aggregators.PriceStats)
@@ -428,6 +466,24 @@ object SparkEntry {
     "q_dedup_first" ->
       """SELECT count(*) AS n FROM (
         |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text)""".stripMargin,
+    "q_window_rolling" ->
+      """SELECT event_id, CAST(round(roll*100) AS BIGINT) AS roll_cents FROM (
+        |  SELECT event_id, sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_intersect" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)""".stripMargin,
+    "q_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 25""".stripMargin,
+    "q_map_hist" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "q_udaf_pricing" ->
       """SELECT o_orderstatus, count(*) AS n,
         | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents

@@ -94,6 +94,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall") // approximate by design; measured, not assumed
   }
 
+  test("RuleHitCounts TypedImperativeAggregate == explode+groupBy") {
+    val scored = guards.QualityPipeline.score(
+      pipeline.SynthStore(3000L).read(spark).toDF()).select("rule_hits").cache()
+    try {
+      val viaExplode = scored.select(explode(col("rule_hits")).as("rule"))
+        .groupBy("rule").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaSketch = scored.agg(guards.expr.RuleHitCounts(col("rule_hits")).as("h"))
+        .select(explode(col("h"))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaSketch("_rows") == scored.count())
+      val nonZero = viaSketch.filter { case (k, v) => k != "_rows" && v > 0 }
+      assert(nonZero == viaExplode, s"sketch=$nonZero explode=$viaExplode")
+    } finally scored.unpersist()
+  }
+
   test("multimodal feature extraction: schema, batch shape, determinism") {
     val media = Multimodal.synthesizeMedia(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
