@@ -43,9 +43,9 @@ object OracleEvaluator {
       lmModel: ByteLMModel = ByteLM.model): ScoredTurn = {
     import RuleSpec._
     val textN = TextStats.norm(t.text)
-    val cp = TextStats.cpLen(textN)
-    val ws = TextStats.words(textN)
-    val nWords = ws.length
+    val st = TextStats.stats(textN)
+    val cp = st.cp
+    val nWords = st.nWords
     val (lang, conf) = langModel.score(textN)
     val ppl = lmModel.perplexity(textN)
 
@@ -57,10 +57,12 @@ object OracleEvaluator {
     rule("r_short", pre = true, cp >= MinCpLen)
     rule("r_long", pre = true, cp <= MaxCpLen)
     rule("r_words", pre = true, nWords >= MinWords && nWords <= MaxWords)
-    rule("r_rep", TextStats.bigramCount(textN) >= MinBigramsForRep,
-      TextStats.repRatio(textN) <= MaxRepRatio)
-    rule("r_sym", cp >= MinCpLenForRatio, TextStats.symbolRatio(textN) <= MaxSymbolRatio)
-    rule("r_digit", cp >= MinCpLenForRatio, TextStats.digitRatio(textN) <= MaxDigitRatio)
+    rule("r_rep", st.nBigrams >= MinBigramsForRep,
+      1.0 - st.nBigramsDistinct.toDouble / st.nBigrams.toDouble <= MaxRepRatio)
+    rule("r_sym", cp >= MinCpLenForRatio,
+      st.symbols.toDouble / cp.toDouble <= MaxSymbolRatio)
+    rule("r_digit", cp >= MinCpLenForRatio,
+      st.digits.toDouble / cp.toDouble <= MaxDigitRatio)
     rule("r_role", pre = true, t.role != null && Roles.contains(t.role))
     rule("r_tool", t.role == "tool", t.tool != null && t.tool.nonEmpty)
     rule("r_order", pre = true,

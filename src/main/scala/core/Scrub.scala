@@ -33,13 +33,45 @@ object Scrub {
   private val compiled: Array[(Pattern, String)] =
     ScrubSpec.Chain.map { case (re, rep) => (Pattern.compile(re), rep) }.toArray
 
+  /** Cheap feasibility gates — skipping a pattern that cannot possibly
+    * match is output-identical and saves ~all regex work on clean text:
+    * step 0 (email) requires '@'; steps 1-4 (SSN/CC/PHONE/IP) require a
+    * digit; step 5 (toxicity) requires 'b'/'B' or 's'/'S' (word list is
+    * pinned in ScrubSpec and starts with those letters only).
+    */
+  private def canMatch(step: Int, s: String): Boolean = step match {
+    case 0 => s.indexOf('@') >= 0
+    case 1 | 2 | 3 | 4 =>
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= '0' && c <= '9') return true
+        i += 1
+      }
+      false
+    case _ =>
+      var i = 0
+      while (i < s.length) {
+        if (toxFirst(s.charAt(i))) return true
+        i += 1
+      }
+      false
+  }
+
+  /** First letters (both cases) of the pinned toxicity words — derived, so
+    * the gate stays correct if ScrubSpec.ToxWords changes. */
+  private val toxFirst: Set[Char] =
+    ScrubSpec.ToxWords.flatMap(w => Seq(w.head.toLower, w.head.toUpper)).toSet
+
   /** Null-safe; null → "" (same normalization as TextStats.norm). */
   def apply(text: String): String = {
     var s = TextStats.norm(text)
     var i = 0
     while (i < compiled.length) {
-      val (p, rep) = compiled(i)
-      s = p.matcher(s).replaceAll(rep)
+      if (canMatch(i, s)) {
+        val (p, rep) = compiled(i)
+        s = p.matcher(s).replaceAll(rep)
+      }
       i += 1
     }
     s

@@ -122,6 +122,19 @@ object SynthGen {
     else "zh"
   }
 
+  /** Turn count of a conversation WITHOUT materializing it (mirrors the
+    * draw order of genConv: lang pick, then size). Used for size-aware
+    * work assignment in the scaling harness.
+    */
+  def convTurns(ordinal: Long, totalTurnsTarget: Long): Int = {
+    if (ordinal == 0L) megaTurns(totalTurnsTarget)
+    else {
+      val rng = new Lcg(Lcg.mix(MasterSeed, ordinal))
+      pickLang(rng) // consume the same draws as genConv
+      zipfTurns(rng)
+    }
+  }
+
   /** Generate one self-contained conversation. Deterministic in (ordinal,
     * totalTurnsTarget) only.
     */

@@ -80,26 +80,67 @@ object TextStats {
       cp: Int, nWords: Int, nBigrams: Int, nBigramsDistinct: Int,
       symbols: Int, digits: Int)
 
+  /** Code-point class tests matching the java.util.regex classes used in
+    * the normative patterns EXACTLY (property-tested against regexp_count
+    * on adversarial unicode):
+    * \p{L} = categories Lu Ll Lt Lm Lo == Character.isLetter;
+    * \p{N} = Nd Nl No;
+    * \s (no UNICODE flag) = [ \t\n\x0B\f\r].
+    */
+  @inline private def isL(cp: Int): Boolean = Character.isLetter(cp)
+  @inline private def isN(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
   /** One-pass stats computation (the hot-path entry point: the Spark
     * codegen expression tier calls THIS, so pipeline and oracle share the
-    * identical implementation).
+    * identical implementation). Counting is a single code-point loop —
+    * equality with the regex-based functions above is enforced by
+    * PropertyEqualitySpec and the `stats == parts` core test.
     */
   def stats(text: String): Stats = {
     val t = norm(text)
-    val ws = words(t)
-    val nBg = if (ws.length < 2) 0 else ws.length - 1
+    // words are defined over the LOWERCASED text (normative, §3.3)
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
+    val ws = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    var wordStart = -1
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (isL(cp) || isN(cp)) { if (wordStart < 0) wordStart = i }
+      else if (wordStart >= 0) { ws += lower.substring(wordStart, i); wordStart = -1 }
+      i += n
+    }
+    if (wordStart >= 0) ws += lower.substring(wordStart)
+    val nW = ws.length
+    val nBg = if (nW < 2) 0 else nW - 1
     val nBgd =
       if (nBg == 0) 0
       else {
         val seen = new java.util.HashSet[String](nBg * 2)
-        var i = 0
+        var k = 0
         var d = 0
-        while (i < nBg) {
-          if (seen.add(ws(i) + " " + ws(i + 1))) d += 1
-          i += 1
+        while (k < nBg) {
+          if (seen.add(ws(k) + " " + ws(k + 1))) d += 1
+          k += 1
         }
         d
       }
-    Stats(cpLen(t), ws.length, nBg, nBgd, symbolCount(t), digitCount(t))
+    // symbol/digit/cp counts over the ORIGINAL (non-lowered) text
+    var cp2 = 0; var sym = 0; var dig = 0
+    i = 0
+    while (i < t.length) {
+      val c = t.codePointAt(i)
+      cp2 += 1
+      if (!isL(c) && !isN(c) && !isWs(c)) sym += 1
+      if (c >= '0' && c <= '9') dig += 1
+      i += Character.charCount(c)
+    }
+    Stats(cp2, nW, nBg, nBgd, sym, dig)
   }
 }

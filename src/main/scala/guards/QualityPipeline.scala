@@ -47,6 +47,64 @@ object QualityPipeline {
       .drop(Rules.StatCols: _*)
   }
 
+  /** Zero-shuffle variant for conversation-clustered sources (SURVEY.md §5
+    * O3): when every conversation is fully contained in one input partition
+    * — guaranteed by SynthStore (one range element ⇒ one whole conv) and by
+    * a production table bucketed+sorted by conv_id — the stable-window
+    * context can be computed partition-locally and the ONLY exchange of the
+    * label path disappears. Conversations must be contiguous within the
+    * partition; each conversation is re-sorted by the pinned stable order
+    * before emitting, so intra-conv row order need not be sorted.
+    *
+    * Correctness vs the window path is asserted in PipelineConformanceSpec.
+    */
+  def scoreClustered(spark: org.apache.spark.sql.SparkSession, turns: DataFrame): DataFrame = {
+    import spark.implicits._
+    val withWin = turns.as[core.Turn].mapPartitions { it =>
+      new Iterator[WinTurn] {
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[core.Turn]
+        private var out: Iterator[WinTurn] = Iterator.empty
+        private var pending: Option[core.Turn] = None
+
+        private def flushConv(): Unit = {
+          val sorted = buf.sortBy(t => (t.turn_idx,
+            Option(t.ts).map(_.getTime).getOrElse(Long.MinValue),
+            Option(t.role).getOrElse("")))
+          var rn = 0
+          var prevIdx: Option[Int] = None
+          var prevRole: Option[String] = None
+          out = sorted.map { t =>
+            rn += 1
+            val w = WinTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+              rn, prevIdx, prevRole)
+            prevIdx = Some(t.turn_idx)
+            prevRole = Option(t.role)
+            w
+          }.iterator
+          buf.clear()
+        }
+
+        private def fill(): Unit = {
+          while (!out.hasNext && (pending.nonEmpty || it.hasNext)) {
+            val t = pending.getOrElse(it.next())
+            pending = None
+            if (buf.nonEmpty && buf.head.conv_id != t.conv_id) {
+              pending = Some(t)
+              flushConv()
+            } else {
+              buf += t
+              if (!it.hasNext && pending.isEmpty) flushConv()
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): WinTurn = { fill(); out.next() }
+      }
+    }
+    scorePostWindow(withWin.toDF())
+  }
+
   /** Output projection matching core.ScoredTurn field order. */
   def select(scored: DataFrame): DataFrame =
     scored.select("conv_id", "turn_idx", "role", "text", "tool", "ts",

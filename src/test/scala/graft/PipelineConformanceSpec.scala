@@ -62,6 +62,16 @@ class PipelineConformanceSpec extends AnyFunSuite {
     assert(diffs.isEmpty, diffs.take(10).mkString("\n"))
   }
 
+  test("zero-shuffle clustered path == oracle (conv-contiguous source)") {
+    val got = pipelineLabels(QualityPipeline.select(
+      QualityPipeline.scoreClustered(spark, SynthStore(Target).read(spark).toDF())))
+    assert(got.size == oracle.size)
+    val diffs = oracle.collect {
+      case (k, o) if got(k) != o => s"$k ${got(k)} != $o"
+    }
+    assert(diffs.isEmpty, diffs.take(10).mkString("\n"))
+  }
+
   test("labels invariant under repartitioning (scale-path determinism)") {
     val base = SynthStore(Target).read(spark).toDF()
     val shuffled = base.repartition(13, col("turn_idx")) // destroys conv locality

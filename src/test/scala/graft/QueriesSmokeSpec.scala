@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every driver-contract query must run on the smoke fixture; plus
+  * secondary-ingest (CSV/JSON scan, SURVEY.md §3.1 #8) round-trips.
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  test("all queries run on sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(SparkTestSession.spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows on the smoke tier") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+
+  test("CSV and JSON scans round-trip the Turn schema") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val turns = pipeline.SynthStore(500L).read(spark).toDF()
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val n = turns.count()
+
+    turns.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val backCsv = spark.read.schema(pipeline.TranscriptStore.turnSchema)
+      .option("header", "true").csv(s"$dir/csv")
+    assert(backCsv.count() == n)
+
+    turns.write.mode("overwrite").json(s"$dir/json")
+    val backJson = spark.read.schema(pipeline.TranscriptStore.turnSchema)
+      .json(s"$dir/json")
+    assert(backJson.count() == n)
+    // labels computed from the JSON re-ingest match the direct path
+    val a = guards.QualityPipeline.score(backJson)
+      .select("conv_id", "turn_idx", "keep").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    val b = guards.QualityPipeline.score(turns)
+      .select("conv_id", "turn_idx", "keep").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(a == b)
+  }
+}

@@ -1,0 +1,73 @@
+#!/bin/bash
+# N-vs-4N scaling protocol (north rule): emulates executors as separate
+# pinned JVMs with separate heaps — the resource shape of a real cluster.
+#   N  = 1 executor (8 cores, 8g) processing the WHOLE corpus
+#   4N = 4 executors (8 cores + 8g each, disjoint cpu sets) processing
+#        disjoint quarters concurrently; wall = slowest executor
+# Usage: tools/scaling.sh [turns] (default 2000000)
+# Prereq: sbt -batch compile (classes under target/scala-2.13/classes)
+set -e
+TURNS=${1:-2000000}
+REPS=${2:-2}
+AO="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+CP="$(dirname "$0")/../target/scala-2.13/classes:/opt/spark/jars/*"
+
+run_shard() { # cpuset idx nshards outfile
+  taskset -c "$1" java $AO -Xmx12g -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC -Dspark.local.dir=/tmp/spark-scale-$2 \
+    -cp "$CP" graft.ScalingMain shard 8 "$TURNS" "$2" "$3" "$REPS" \
+    2>/dev/null | grep '^{' > "$4"
+}
+
+if [ "${MODE:-strong}" = weak ]; then
+  # weak scaling: per-executor throughput retention when 4 executors run
+  # concurrently, each over the FULL corpus (the predictor for a real 4N
+  # cluster where data volume scales with executors)
+  echo "# weak N: 1 executor, full corpus" >&2
+  run_shard 0-7 0 1 /tmp/scale_n.json
+  cat /tmp/scale_n.json
+  echo "# weak 4N: 4 executors, full corpus EACH, concurrent" >&2
+  ( cd /tmp && run_shard 0-7 0 1 /tmp/weak_0.json & run_shard 8-15 0 1 /tmp/weak_1.json & \
+    run_shard 16-23 0 1 /tmp/weak_2.json & run_shard 24-31 0 1 /tmp/weak_3.json & wait )
+  cat /tmp/weak_*.json
+  python3 - <<'EOF'
+import json
+n = json.load(open('/tmp/scale_n.json'))
+ws = [json.load(open(f'/tmp/weak_{i}.json')) for i in range(4)]
+wall = max(w['sec'] for w in ws)
+# 4 executors completed 4 full corpora in `wall` ⇒ aggregate thr = 4·turns/wall
+eff = (4 * n['turns'] / wall) / (n['turns'] / n['sec']) / 4
+print(json.dumps({'turns_each': n['turns'], 'sec_solo': n['sec'],
+                  'sec_concurrent_max': wall,
+                  'weak_scaling_efficiency': round(eff, 3)}))
+EOF
+  exit 0
+fi
+
+echo "# N: 1 executor (8 cores), full corpus" >&2
+run_shard 0-7 0 1 /tmp/scale_n.json
+cat /tmp/scale_n.json
+
+echo "# 4N: 4 executors (8 cores each), disjoint quarters, concurrent" >&2
+run_shard 0-7   0 4 /tmp/scale_4n_0.json &
+run_shard 8-15  1 4 /tmp/scale_4n_1.json &
+run_shard 16-23 2 4 /tmp/scale_4n_2.json &
+run_shard 24-31 3 4 /tmp/scale_4n_3.json &
+wait
+cat /tmp/scale_4n_*.json
+
+python3 - <<'EOF'
+import json
+n = json.load(open('/tmp/scale_n.json'))
+shards = [json.load(open(f'/tmp/scale_4n_{i}.json')) for i in range(4)]
+total = sum(s['turns'] for s in shards)
+assert total == n['turns'], (total, n['turns'])
+wall = max(s['sec'] for s in shards)
+thr_n = n['turns'] / n['sec']
+thr_4n = total / wall
+print(json.dumps({
+    'turns': n['turns'],
+    'sec_N': round(n['sec'], 3), 'thr_N': round(thr_n),
+    'wall_4N': round(wall, 3), 'thr_4N': round(thr_4n),
+    'scaling_efficiency': round(thr_4n / thr_n / 4, 3)}))
+EOF
