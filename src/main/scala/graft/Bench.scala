@@ -54,14 +54,22 @@ object Bench {
     val turnsPerSec = turnsIn / steadySec
 
     // ---- full operator sweep (fully materialized) ----
+    // a throwing query is reported as -1.0 (never a plausible wall-time);
+    // its stack goes to stderr so the failure is diagnosable from the log
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
+      val ok =
+        try { force(fn(spark, sfDir)); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH QUERY FAILED $name: $t")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + coldSec + steadySec
+    val total = results.map(_._2).filter(_ >= 0).sum + coldSec + steadySec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec}""")
     spark.stop()
   }

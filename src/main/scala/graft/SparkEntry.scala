@@ -140,6 +140,44 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_join_full" -> ((s, dir) => {
+      // #21 full_outer: per-user purchase vs signup counts — both sides have
+      // unmatched keys, so left-, right- and inner-match paths all exercise
+      val e = t(s, dir, "events")
+      val a = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchase"))
+      val b = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(count(lit(1)).as("n_signup"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("n_signup"), lit(0L)).as("n_signup"))
+        .orderBy("user_id")
+    }),
+    "q_join_cross" -> ((s, dir) =>
+      // #22 cartesian: tiny dims only (5 regions × 3 statuses); at scale a
+      // cross join is only ever sane between broadcast-size inputs
+      t(s, dir, "region").select("r_name")
+        .crossJoin(t(s, dir, "orders").select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus")),
+    "q_join_salted" -> ((s, dir) => {
+      // #16 dim-explode salted join: the fact side gets a deterministic salt,
+      // the dim side is exploded ×S so every (key, salt) pair exists — a
+      // mega-key's rows spread over S reducers instead of one straggler.
+      // Result must equal the plain unsalted join (the oracle runs that).
+      val S = 8
+      val fact = t(s, dir, "orders")
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(S)))
+      val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+      fact.join(dim,
+          fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---------------- windows / sort / limit / set ops (#32-#42) ----
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -333,10 +371,39 @@ object SparkEntry {
         .select(count(lit(1)).as("n_convs"), sum(col("cs.nTurns")).as("n_turns"),
           max(col("cs.maxIdx")).as("max_idx"))
     }),
-    "q_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "events").agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+    "q_approx_distinct" -> ((s, dir) => {
+      // #27 HLL++ with the error bound ASSERTED in the output (|approx-exact|
+      // ≤ 3·rsd·exact), so the DuckDB oracle can pin `approx_ok = true`
+      val rsd = 0.05
+      t(s, dir, "events")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd).as("a"),
+          countDistinct(col("user_id")).as("e"))
+        .select(col("e").as("exact_users"),
+          (abs(col("a") - col("e")) <= lit(3 * rsd) * col("e")).as("approx_ok"))
+    }),
+    "q_sort_partitions" -> ((s, dir) => {
+      // #37 sortWithinPartitions: per-partition order with NO global sort
+      // exchange; sortedness is verified inside each partition and reduced
+      import s.implicits._
+      val sorted = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartition(col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+      sorted.as[(Long, Int)].mapPartitions { it =>
+        var n = 0L
+        var ok = true
+        var has = false
+        var pk = 0L
+        var pl = 0
+        it.foreach { case (k, l) =>
+          if (has && (k < pk || (k == pk && l < pl))) ok = false
+          pk = k; pl = l; has = true; n += 1
+        }
+        Iterator((n, ok))
+      }.toDF("np", "okp")
+        .agg(sum("np").as("n"), min("okp").as("all_sorted"))
+    }),
     "q_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
       t(s, dir, "documents")
@@ -367,7 +434,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -375,7 +442,7 @@ object SparkEntry {
       "SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n FROM orders",
     "q_join_bcast" ->
       """SELECT r_name, count(*) AS n_cust,
-        | sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents
+        | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
@@ -410,6 +477,30 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_val
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        | CAST(coalesce(n_purchase, 0) AS BIGINT) AS n_purchase,
+        | CAST(coalesce(n_signup, 0) AS BIGINT) AS n_signup
+        |FROM (SELECT user_id, count(*) AS n_purchase FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id) a
+        |FULL JOIN (SELECT user_id, count(*) AS n_signup FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id) b
+        |ON a.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok
+        |FROM events""".stripMargin,
+    "q_sort_partitions" ->
+      "SELECT count(*) AS n, true AS all_sorted FROM lineitem",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM (
@@ -418,7 +509,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_window_lag" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CASE WHEN value > prev_value THEN 1 ELSE 0 END) AS n_up FROM (
+        | CAST(sum(CASE WHEN value > prev_value THEN 1 ELSE 0 END) AS BIGINT) AS n_up FROM (
         |  SELECT event_type, value,
         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |  FROM events)
@@ -438,7 +529,7 @@ object SparkEntry {
         |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)""".stripMargin,
     "q_json" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_time_bucket" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -486,7 +577,7 @@ object SparkEntry {
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "q_udaf_pricing" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_ntile" ->
       """SELECT lang, quartile, count(*) AS n, max(n_chars) AS max_chars FROM (

@@ -48,6 +48,13 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in o.columns:
         ov, sv = o[c], s[c]
+        # the driver's hash compare is dtype-KIND-sensitive: DuckDB HUGEINT →
+        # float64 vs Spark int64 hashed differently even when values matched
+        # (round-1 q_agg_pricing et al.), while int32 vs int64 hashed equal
+        # (round-1 q_strings et al. were hash_match:true). Reproduce that.
+        if ov.dtype.kind != sv.dtype.kind:
+            bad = f"col {c} dtype-kind oracle={ov.dtype} spark={sv.dtype}"
+            break
         if ov.dtype.kind == "f" or sv.dtype.kind == "f":
             exact = all(
                 (math.isnan(a) and math.isnan(b)) or a == b
