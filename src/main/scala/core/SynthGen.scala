@@ -170,6 +170,10 @@ object SynthGen {
 
     var ts = BaseEpochMs + (ordinal % 365L) * 86400000L + rng.nextInt(86400) * 1000L
     val out = new Array[GenTurn](n)
+    // EMITTED role of the previous turn (differs from roles(i-1) when that
+    // turn drew a role-mutating plant) — r_alt must duplicate what was
+    // actually emitted or the plant never fires
+    var prevOutRole: String = null
     i = 0
     while (i < n) {
       ts += (30 + rng.nextInt(271)) * 1000L
@@ -196,10 +200,10 @@ object SynthGen {
         planted = convPlant
         text = cleanText()
         if (convPlant == "r_order") turnIdx = i + 3 // idx gap at the tail
-        else { // r_alt: duplicate the previous user/assistant role
-          val prev = roles(i - 1)
-          if (prev == "user" || prev == "assistant") { outRole = prev; tool = null }
-          else { // previous was tool/system — fall back to an order gap
+        else { // r_alt: duplicate the previous EMITTED user/assistant role
+          if (prevOutRole == "user" || prevOutRole == "assistant") {
+            outRole = prevOutRole; tool = null
+          } else { // previous emitted tool/system/narrator — order gap instead
             planted = "r_order"; turnIdx = i + 3
           }
         }
@@ -230,6 +234,7 @@ object SynthGen {
       }
 
       out(i) = GenTurn(convId, turnIdx, outRole, text, tool, new Timestamp(ts), planted)
+      prevOutRole = outRole
       i += 1
     }
     out.toSeq

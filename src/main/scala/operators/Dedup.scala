@@ -79,6 +79,10 @@ object Dedup {
     * bit_count(a XOR b) ≤ maxHamming.
     */
   def simhashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 chunks is only COMPLETE for ≤ 3 flips; a larger
+    // maxHamming would silently lose pairs whose flips hit all four chunks
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhash candidate generation uses 4 chunks => maxHamming ≤ 3, got $maxHamming")
     val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
     val chunked = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>

@@ -2,7 +2,6 @@ package operators
 
 import core.VecOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -26,25 +25,50 @@ object Similarity {
   private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
     VecOps.cosine(a.toArray, b.toArray))
 
+  /** Rank the per-query candidate stream: top-k by (cos DESC, vec_id ASC)
+    * via the bounded-heap aggregate. Map-side combine ships ≤ k rows per
+    * (task, query) — scale-safe for MANY queries, unlike a window over
+    * partitionBy(q_id), which funnels every candidate of a query through
+    * one reducer partition.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored // (q_id, cos, vec_id)
+      .groupBy("q_id")
+      .agg(TopKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("vec_id"))
+
   /** Exact cosine top-k of each query vector against the corpus.
     * `queries`/`corpus`: (vec_id, embedding). Excludes self-matches.
+    * The query side is broadcast, so it must be driver-memory bounded
+    * (≲10⁵ rows); the corpus side streams and is never shuffled — only
+    * the k survivors per (task, query) move.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosUdf(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id")
+    rankTopK(
+      c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), cosUdf(col("q_emb"), col("embedding")).as("cos"),
+          col("vec_id")),
+      k)
   }
 
-  /** Deterministic centroids: seed with the C lowest vec_ids, then one
-    * Lloyd refinement pass over the corpus (distributed: one aggregation).
+  /** Deterministic centroids: seed with the C lowest vec_ids of a bounded
+    * deterministic sample, then one Lloyd refinement pass over the sample.
+    * Centroid quality does not need the full corpus, and the refinement
+    * pass `posexplode`s every sampled vector (dim× row blow-up) — capping
+    * the sample keeps the build O(sampleCap·dim) regardless of corpus size.
     */
-  def centroids(spark: SparkSession, corpus: DataFrame, c: Int): Array[(Int, Array[Float])] = {
-    val seed = corpus.orderBy("vec_id").limit(c)
+  def centroids(spark: SparkSession, corpus: DataFrame, c: Int,
+      sampleCap: Long = 65536L): Array[(Int, Array[Float])] = {
+    val n = corpus.count()
+    val sampled =
+      if (n <= sampleCap) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n / sampleCap + 1)) === 0)
+    val seed = sampled.orderBy("vec_id").limit(c)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val bcSeed = spark.sparkContext.broadcast(seed)
@@ -59,7 +83,7 @@ object Similarity {
       }
       best
     })
-    val refined = corpus
+    val refined = sampled
       .withColumn("cid", assignUdf(col("embedding")))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cid", "dim").agg(avg("v").as("m"))
@@ -74,8 +98,9 @@ object Similarity {
     * query, exact cosine within the probed subset.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, c: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(spark, corpus, c)
+      k: Int, c: Int = 16, nProbe: Int = 4,
+      sampleCap: Long = 65536L): DataFrame = {
+    val cents = centroids(spark, corpus, c, sampleCap)
     val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((emb: Seq[Float]) => {
       val e = emb.toArray
@@ -96,13 +121,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       explode(probeUdf(col("embedding"))).as("cid"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    corpusAssigned.join(broadcast(q), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosUdf(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id")
+    rankTopK(
+      corpusAssigned.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), cosUdf(col("q_emb"), col("embedding")).as("cos"),
+          col("vec_id")),
+      k)
   }
 
   /** Random-hyperplane LSH bucketing (16-bit signatures): the cheap

@@ -78,49 +78,52 @@ object QualityFilterJob {
         else withWin
       QualityPipeline.scorePostWindow(spread)
     }
-    val scored = scored0.persist()
-    try {
-      // ---- sink 1: kept + scrubbed turns, partitioned by logical part id
-      scored.filter(col("keep"))
-        .select(col("part_id"), col("conv_id"), col("turn_idx"), col("role"),
-          col("scrubbed_text"), col("tool"), col("ts"), col("lang"),
-          col("lang_conf"), col("ppl"))
-        .write.mode(SaveMode.Overwrite).partitionBy("part_id")
-        .parquet(s"$outDir/kept")
+    // ---- SINGLE pass: the kept-output write is the only job over the
+    // scored corpus; per-partition lineage/rule metrics and the commit
+    // stats ride the same pass via observe() (PartitionMetricsAgg), so the
+    // 100 TB corpus is scored exactly once — no persist, no re-scan.
+    val obs = org.apache.spark.sql.Observation(s"qfj-$runId")
+    scored0
+      .observe(obs, guards.expr.PartitionMetricsAgg(
+        col("part_id"), col("keep"), col("text"), col("rule_hits")).as("pm"))
+      .filter(col("keep"))
+      .select(col("part_id"), col("conv_id"), col("turn_idx"), col("role"),
+        col("scrubbed_text"), col("tool"), col("ts"), col("lang"),
+        col("lang_conf"), col("ppl"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .parquet(s"$outDir/kept")
 
-      // ---- sink 2: per-partition lineage + rule-hit metrics (SURVEY.md §2.3)
-      val wallMsSoFar = (System.nanoTime() - t0) / 1000000L
-      val totals = scored.groupBy(col("part_id").as("partition_id")).agg(
-        count(lit(1)).as("turns_in"),
-        sum(col("keep").cast("long")).as("turns_kept"),
-        sum(octet_length(coalesce(col("text"), lit(""))).cast("long")).as("bytes_in"))
-      val byRule = scored
-        .select(col("part_id").as("partition_id"), explode(col("rule_hits")).as("rule"))
-        .groupBy("partition_id", "rule").agg(count(lit(1)).as("hits"))
-      val totalRows = totals
-        .withColumn("rule", lit("_total"))
-        .withColumn("hits", col("turns_in") - col("turns_kept"))
-      val metrics = byRule.join(totals, "partition_id")
-        .unionByName(totalRows)
-        .withColumn("run_id", lit(runId))
-        .withColumn("wall_ms", lit(wallMsSoFar))
-        .select(metricsSchemaCols.map(col): _*)
-      metrics.write.mode(SaveMode.Overwrite).partitionBy("partition_id")
-        .parquet(s"$outDir/metrics")
-
-      // ---- commit: all pending partitions that produced rows
-      val stats = scored.agg(
-        count(lit(1)), sum(col("keep").cast("long")),
-        collect_set(col("part_id"))).head()
-      val turnsIn = stats.getLong(0)
-      val turnsKept = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      val processed = stats.getSeq[Int](2).sorted
-      Manifest.write(outDir, Manifest(runId, inputSnapshot, configSha,
-        committed ++ processed))
-      Result(runId, processed, committed.toSeq.sorted, turnsIn, turnsKept,
-        (System.nanoTime() - t0) / 1000000L)
-    } finally {
-      scored.unpersist()
+    val flat: Map[String, Long] = obs.get("pm") match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, v) => k.toString -> v.asInstanceOf[Long] }.toMap
+      case other => sys.error(s"unexpected observe result: $other")
     }
+    val perPart = guards.expr.PartitionMetricsAgg.parse(flat)
+
+    // ---- sink 2: metrics table built driver-side from the observed map
+    // (≤ 256 partitions × ≤ 16 entries — trivially small), same layout as
+    // before: per-(partition, rule) hit rows plus a _total row
+    val wallMsSoFar = (System.nanoTime() - t0) / 1000000L
+    val metricRows = perPart.toSeq.sortBy(_._1).flatMap {
+      case (pid, (in, kept, bytes, rules)) =>
+        rules.toSeq.sortBy(_._1).map { case (rule, hits) =>
+          (runId, pid, rule, hits, in, kept, bytes, wallMsSoFar)
+        } :+ ((runId, pid, "_total", in - kept, in, kept, bytes, wallMsSoFar))
+    }
+    if (metricRows.nonEmpty) {
+      import spark.implicits._
+      metricRows.toDF(metricsSchemaCols: _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("partition_id")
+        .parquet(s"$outDir/metrics")
+    }
+
+    // ---- commit: all pending partitions that produced rows
+    val processed = perPart.keys.toSeq.sorted
+    val turnsIn = perPart.values.map(_._1).sum
+    val turnsKept = perPart.values.map(_._2).sum
+    Manifest.write(outDir, Manifest(runId, inputSnapshot, configSha,
+      committed ++ processed))
+    Result(runId, processed, committed.toSeq.sorted, turnsIn, turnsKept,
+      (System.nanoTime() - t0) / 1000000L)
   }
 }

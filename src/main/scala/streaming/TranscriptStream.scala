@@ -44,6 +44,19 @@ object TranscriptStream {
       .select(col("window.start").as("win_start"), col("turns"), col("kept"))
   }
 
+  /** S3 (sliding variant): keep-rate per 10-minute window sliding every 5
+    * minutes — each on-time event contributes to exactly two windows.
+    */
+  def keepRateBySlidingWindow(turns: DataFrame): DataFrame = {
+    val labeled = statelessScore(turns)
+    labeled
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("turns"),
+        sum(col("keep").cast("long")).as("kept"))
+      .select(col("window.start").as("win_start"), col("turns"), col("kept"))
+  }
+
   /** S4: conversation sessionization by 30-minute inactivity gap. */
   def sessions(turns: DataFrame): DataFrame =
     turns

@@ -84,6 +84,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("brute-force top-k with 200 queries: bounded-heap agg == plain oracle") {
+    // the many-queries case the window formulation could not scale to:
+    // 200 query vectors, map-side-combined top-k, exact expected output
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val queries = all.filter(_._1 < 200)
+    val expected = queries.flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (id, v) => (id, VecOps.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 200), emb.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("approx_count_distinct stays inside the advertised HLL error bound") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rsd = 0.05
+    val r = ev.agg(
+      approx_count_distinct(col("user_id"), rsd).as("a"),
+      countDistinct(col("user_id")).as("e")).head()
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    info(s"approx=$a exact=$e rsd=$rsd")
+    assert(math.abs(a - e) <= 3 * rsd * e, s"approx=$a exact=$e outside 3·rsd bound")
+  }
+
+  test("IVF centroid build under a forced sample cap keeps usable recall") {
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // sampleCap 128 << 500 corpus rows forces the deterministic hash sample
+    val cents = Similarity.centroids(spark, emb, 16, sampleCap = 128L)
+    assert(cents.length == 16)
+    val ivf = Similarity.ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5,
+      c = 16, nProbe = 4, sampleCap = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 with sampled centroids = $recall")
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("IVF ANN recall@5 vs brute force is measured and reasonable") {
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -63,6 +63,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, diffs.take(10).mkString("\n"))
   }
 
+  /** One parquet file per micro-batch with controlled mod-times so the
+    * file source replays them in the given order (oldest mod-time first).
+    */
+  private def writeOrderedBatches(dir: String,
+      batches: Seq[Seq[core.Turn]]): Unit = {
+    import spark.implicits._
+    val f = new java.io.File(dir)
+    batches.zipWithIndex.foreach { case (turns, i) =>
+      val sub = s"b$i"
+      turns.toDF().coalesce(1).write.parquet(s"$dir/$sub")
+      val part = new java.io.File(f, sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(f, s"$sub.parquet")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() - 60000L + i * 10000L)
+      new java.io.File(f, sub).listFiles().foreach(_.delete())
+      new java.io.File(f, sub).delete()
+    }
+  }
+
+  private def turnAt(conv: String, idx: Int, epochMs: Long): core.Turn =
+    core.Turn(conv, idx, "user", "the and for data", null,
+      new java.sql.Timestamp(epochMs))
+
+  test("S3 sliding windows: every on-time turn lands in exactly two windows") {
+    val dir = Files.createTempDirectory("graft_slide").toString
+    val base = 1735689600000L // 2025-01-01T00:00:00Z
+    // 4 turns inside a 10-minute span, single micro-batch, all on time
+    writeOrderedBatches(dir, Seq(Seq(
+      turnAt("s1", 0, base),
+      turnAt("s1", 1, base + 4 * 60000L),
+      turnAt("s2", 0, base + 7 * 60000L),
+      turnAt("s2", 1, base + 9 * 60000L))))
+    val q = TranscriptStream.keepRateBySlidingWindow(
+      TranscriptStream.readTurns(spark, dir)).writeStream
+      .format("memory").queryName("slide").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // update-mode memory sink re-emits a window on every update: dedupe to
+    // the final value per window before summing
+    val total = spark.sql(
+      """SELECT sum(t) FROM (
+        |  SELECT win_start, max(turns) AS t FROM slide GROUP BY win_start)"""
+        .stripMargin).head().getLong(0)
+    assert(total == 8, s"4 turns x 2 overlapping windows expected, got $total")
+  }
+
+  test("late data past the watermark is dropped from windowed aggregates") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    val base = 1735689600000L
+    val h = 3600000L
+    writeOrderedBatches(dir, Seq(
+      // batch 1: two turns 4h apart -> watermark advances to max-1h = base+3h
+      Seq(turnAt("c1", 0, base), turnAt("c1", 1, base + 4 * h)),
+      // batch 2: on-time turn; the base-window state (end << base+3h) is
+      // evicted at the END of this batch
+      Seq(turnAt("c2", 1, base + 4 * h + 2 * 60000L)),
+      // batch 3: a turn far below the watermark, arriving AFTER eviction —
+      // this is the row the engine must drop
+      Seq(turnAt("c2", 0, base + 5 * 60000L))))
+    val q = TranscriptStream.keepRateByWindow(
+      TranscriptStream.readTurns(spark, dir)).writeStream
+      .format("memory").queryName("late").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.sql(
+      """SELECT sum(t) FROM (
+        |  SELECT win_start, max(turns) AS t FROM late GROUP BY win_start)"""
+        .stripMargin).head().getLong(0)
+    // 4 input turns, 1 late-after-eviction -> only 3 aggregated (documents
+    // the pinned batch/streaming divergence: the batch path counts all 4)
+    assert(total == 3, s"expected the late row to be dropped, got $total")
+  }
+
   test("S2-S4: watermarked tumbling windows and session windows aggregate") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     writeSplitInput(dir, 800L)
