@@ -70,6 +70,7 @@ object ScalingMain {
     if (args.headOption.contains("shard")) {
       val Array(_, cpusS, turnsS, idxS, nS) = args.take(5)
       val reps = args.drop(5).headOption.map(_.toInt).getOrElse(2)
+      val barrierDir = args.drop(6).headOption
       val spark = SparkSession.builder()
         .master(s"local[$cpusS]")
         .config("spark.sql.shuffle.partitions", cpusS)
@@ -115,6 +116,24 @@ object ScalingMain {
         (System.nanoTime() - t0) / 1e9
       }
       once()
+      // start barrier: wait until EVERY concurrent executor has finished
+      // heap pre-touch + generation + warmup before anyone's timed reps
+      // begin. Without it, a laggard executor's multi-GB first-touch page
+      // faulting (host page-allocation bandwidth is shared and slow in
+      // this sandbox) lands inside a leader's timed window and halves its
+      // measured throughput — observed as a bimodal 0.43/0.93 efficiency.
+      barrierDir.foreach { spec =>
+        val (bd, count) = spec.lastIndexOf(':') match {
+          case -1 => (spec, n)
+          case i  => (spec.substring(0, i), spec.substring(i + 1).toInt)
+        }
+        val d = new java.io.File(bd)
+        d.mkdirs()
+        new java.io.File(d,
+          s"ready_${ProcessHandle.current().pid()}").createNewFile()
+        while (d.listFiles().count(_.getName.startsWith("ready_")) < count)
+          Thread.sleep(200)
+      }
       val best = (1 to reps).map(_ => once()).min
       println(f"""{"shard":$idx,"of":$n,"cpus":$cpusS,"turns":$turnsIn,"sec":$best%.3f}""")
       spark.stop()

@@ -283,6 +283,15 @@ object SparkEntry {
       operators.Dedup.fingerprintGroups(
         t(s, dir, "documents").select("doc_id", "text"))
         .orderBy("fp")),
+    "q_dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // plant exact duplicates so the demo provably surfaces pairs
+      val planted = emb.unionByName(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      operators.Similarity.embeddingNearDuplicates(planted, 0.95)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.bruteForceTopK(

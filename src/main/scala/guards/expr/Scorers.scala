@@ -16,16 +16,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * across rows, hence the clone).
   */
 object Scorers {
-  private final class Memo(var key: UTF8String, var lang: UTF8String, var conf: Double)
+  // ---- shared per-row UTF8String→String decode: every scorer entry point
+  // (langid pair, six stat fields, ppl, scrub) needs the SAME java String
+  // for a row, so decode it once per row per thread and let downstream
+  // memos key on the returned instance (`eq`, not a byte compare). Before
+  // this, each row paid ~4 toString copies + 2 full byte-equals probes.
+  private final class TextMemo(var key: UTF8String, var str: String)
+  private val textMemo = new ThreadLocal[TextMemo] {
+    override def initialValue(): TextMemo = new TextMemo(null, null)
+  }
+
+  /** Canonical String for this row's text: the same instance is returned
+    * for repeated calls with an equal UTF8String (UnsafeRow memory is
+    * reused across rows, hence the defensive key clone).
+    */
+  private def asString(u: UTF8String): String =
+    if (u == null) ""
+    else {
+      val m = textMemo.get()
+      if (m.key == null || !m.key.equals(u)) {
+        m.str = u.toString
+        m.key = u.clone()
+      }
+      m.str
+    }
+
+  private final class Memo(var key: String, var lang: UTF8String, var conf: Double)
   private val memo = new ThreadLocal[Memo] {
     override def initialValue(): Memo = new Memo(null, null, 0.0)
   }
 
   private def scorePair(u: UTF8String): Memo = {
+    val s = asString(u)
     val m = memo.get()
-    if (m.key == null || !m.key.equals(u)) {
-      val (lang, conf) = LangId.model.score(if (u == null) "" else u.toString)
-      m.key = if (u == null) UTF8String.EMPTY_UTF8 else u.clone()
+    if (!(m.key eq s)) {
+      val (lang, conf) = LangId.model.score(s)
+      m.key = s
       m.lang = UTF8String.fromString(lang)
       m.conf = conf
     }
@@ -37,17 +63,18 @@ object Scorers {
 
   // ---- one-pass text stats (rule inputs), memoized like the langid pair:
   // six scalar projections share one TextStats.stats computation per row ----
-  private final class StatsMemo(var key: UTF8String, var s: TextStats.Stats)
+  private final class StatsMemo(var key: String, var s: TextStats.Stats)
   private val statsMemo = new ThreadLocal[StatsMemo] {
     override def initialValue(): StatsMemo = new StatsMemo(null, null)
   }
 
   /** field: 0=cp 1=nWords 2=nBigrams 3=nBigramsDistinct 4=symbols 5=digits */
   def statField(u: UTF8String, field: Int): Int = {
+    val s = asString(u)
     val m = statsMemo.get()
-    if (m.key == null || !m.key.equals(u)) {
-      m.s = TextStats.stats(if (u == null) "" else u.toString)
-      m.key = if (u == null) UTF8String.EMPTY_UTF8 else u.clone()
+    if (!(m.key eq s)) {
+      m.s = TextStats.stats(s)
+      m.key = s
     }
     field match {
       case 0 => m.s.cp
@@ -60,10 +87,10 @@ object Scorers {
   }
 
   def ppl(u: UTF8String): Double =
-    ByteLM.model.perplexity(if (u == null) "" else u.toString)
+    ByteLM.model.perplexity(asString(u))
 
   def scrub(u: UTF8String): UTF8String =
-    UTF8String.fromString(Scrub(if (u == null) "" else u.toString))
+    UTF8String.fromString(Scrub(asString(u)))
 
   /** Logical resume-partition id: pmod(pinned-Murmur3(conv_id), nParts)
     * (SURVEY.md §8.6 — label-path hashing never uses Spark's hash()).

@@ -47,8 +47,10 @@ object Dedup {
       j <- (i + 1) until ids.length
     } yield (ids(i), ids(j)))
 
-  /** Candidate pairs from bucketed keys: groupBy bucket → in-bucket pairs. */
-  private def pairsFromKeys(keyed: DataFrame): DataFrame =
+  /** Candidate pairs from bucketed keys: groupBy bucket → in-bucket pairs.
+    * Shared by minhash / simhash / embedding-LSH dedup tiers.
+    */
+  private[operators] def pairsFromKeys(keyed: DataFrame): DataFrame =
     keyed // (doc_id, band_key)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -129,6 +129,27 @@ object Similarity {
       k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket mates
+    * verified with exact cosine ≥ tau. Same scale shape as the text dedup
+    * tiers (Dedup.scala): the bucket shuffle moves (bucket, vec_id) pairs —
+    * never the vectors — and only candidate ids re-join their embeddings.
+    * Identical vectors share every hyperplane sign, so exact duplicates are
+    * always bucket mates (recall 1.0 for cosine = 1); near-duplicates may
+    * straddle a hyperplane — the recall/cost trade is the `bits` knob.
+    */
+  def embeddingNearDuplicates(corpus: DataFrame, tau: Double,
+      bits: Int = 16, dim: Int = 64): DataFrame = {
+    val keyed = lshBuckets(corpus, bits, dim)
+      .select(col("vec_id").as("doc_id"), col("bucket").cast("long").as("band_key"))
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    Dedup.pairsFromKeys(keyed)
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a")), "doc_a")
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b")), "doc_b")
+      .withColumn("cos", cosUdf(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= tau)
+      .select("doc_a", "doc_b", "cos")
+  }
+
   /** Random-hyperplane LSH bucketing (16-bit signatures): the cheap
     * pre-filter tier for pairwise embedding near-dup at corpus scale.
     */

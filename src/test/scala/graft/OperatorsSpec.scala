@@ -113,6 +113,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a - e) <= 3 * rsd * e, s"approx=$a exact=$e outside 3·rsd bound")
   }
 
+  test("embedding-cosine near-dup finds every planted exact-duplicate pair") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.unionByName(base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.embeddingNearDuplicates(planted, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 100000)), s"planted dup pair $i missing")
+    }
+  }
+
   test("IVF centroid build under a forced sample cap keeps usable recall") {
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -135,6 +146,26 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(s"IVF recall@5 = $recall")
     assert(recall >= 0.4, s"recall $recall") // approximate by design; measured, not assumed
+  }
+
+  test("sort-based aggregate fallback (#24) produces identical results") {
+    // collect_list normally runs in ObjectHashAggregate; disabling it forces
+    // the planner's SortAggregate fallback — results must be identical
+    val df = spark.read.parquet(s"$sf/events.parquet")
+    def run(): Map[Long, Seq[String]] =
+      df.groupBy("user_id")
+        .agg(sort_array(collect_list("event_type")).as("types"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val viaHash = run()
+    val key = "spark.sql.execution.useObjectHashAggregateExec"
+    val old = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      val plan = df.groupBy("user_id")
+        .agg(collect_list("event_type")).queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate"), s"expected SortAggregate in:\n$plan")
+      assert(run() == viaHash)
+    } finally spark.conf.set(key, old)
   }
 
   test("RuleHitCounts TypedImperativeAggregate == explode+groupBy") {

@@ -1,21 +1,42 @@
 #!/bin/bash
 # N-vs-4N scaling protocol (north rule): emulates executors as separate
 # pinned JVMs with separate heaps — the resource shape of a real cluster.
-#   N  = 1 executor (8 cores, 8g) processing the WHOLE corpus
-#   4N = 4 executors (8 cores + 8g each, disjoint cpu sets) processing
+#   N  = 1 executor (EC cores) processing the WHOLE corpus
+#   4N = 4 executors (EC cores each, disjoint cpu sets) processing
 #        disjoint quarters concurrently; wall = slowest executor
-# Usage: tools/scaling.sh [turns] (default 2000000)
+# Usage: tools/scaling.sh [turns] [reps]   (env: EC=cores/executor, MODE=weak)
 # Prereq: sbt -batch compile (classes under target/scala-2.13/classes)
+#
+# Measurement-hygiene notes (learned the hard way):
+# - Heaps are -Xms=-Xmx + AlwaysPreTouch: page-zeroing happens at JVM
+#   startup (untimed), not inside another executor's timed rep — unstaggered
+#   concurrent heap growth showed up as a kernel-time storm (70%+ sys) that
+#   halved every shard's throughput.
+# - EC=4 (the default) uses 16 of the 32 host cpus for the 4N side. The
+#   sandbox box is a shared VM whose effective capacity fluctuates when all
+#   32 vcpus are hot; an emulation that needs the whole box measures the
+#   neighbor, not the engine. 4-core executors keep every JVM's resource
+#   shape identical across N and 4N while staying inside reliably-available
+#   capacity. EC=8 reproduces the whole-box variant.
 set -e
 TURNS=${1:-2000000}
 REPS=${2:-2}
+EC=${EC:-4}
+HEAP=${HEAP:-10g}
 AO="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 CP="$(dirname "$0")/../target/scala-2.13/classes:/opt/spark/jars/*"
 
-run_shard() { # cpuset idx nshards outfile
-  taskset -c "$1" java $AO -Xmx12g -Dspark.ui.enabled=false \
+# disjoint cpu sets: executor i gets cpus [i*EC, (i+1)*EC)
+cpuset() { echo "$(($1 * EC))-$(($1 * EC + EC - 1))"; }
+
+BARRIER=$(mktemp -d /tmp/scale_barrier.XXXX)
+
+run_shard() { # cpuset idx nshards outfile barrierName barrierCount
+  taskset -c "$1" java $AO -Xms$HEAP -Xmx$HEAP -XX:+AlwaysPreTouch \
+    -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -Dspark.local.dir=/tmp/spark-scale-$2 \
-    -cp "$CP" graft.ScalingMain shard 8 "$TURNS" "$2" "$3" "$REPS" \
+    -cp "$CP" graft.ScalingMain shard "$EC" "$TURNS" "$2" "$3" "$REPS" \
+    "$BARRIER/${5:-solo$2}:${6:-$3}" \
     2>/dev/null | grep '^{' > "$4"
 }
 
@@ -24,11 +45,13 @@ if [ "${MODE:-strong}" = weak ]; then
   # concurrently, each over the FULL corpus (the predictor for a real 4N
   # cluster where data volume scales with executors)
   echo "# weak N: 1 executor, full corpus" >&2
-  run_shard 0-7 0 1 /tmp/scale_n.json
+  run_shard "$(cpuset 0)" 0 1 /tmp/scale_n.json
   cat /tmp/scale_n.json
   echo "# weak 4N: 4 executors, full corpus EACH, concurrent" >&2
-  ( cd /tmp && run_shard 0-7 0 1 /tmp/weak_0.json & run_shard 8-15 0 1 /tmp/weak_1.json & \
-    run_shard 16-23 0 1 /tmp/weak_2.json & run_shard 24-31 0 1 /tmp/weak_3.json & wait )
+  ( cd /tmp && run_shard "$(cpuset 0)" 0 1 /tmp/weak_0.json weak 4 & \
+    run_shard "$(cpuset 1)" 0 1 /tmp/weak_1.json weak 4 & \
+    run_shard "$(cpuset 2)" 0 1 /tmp/weak_2.json weak 4 & \
+    run_shard "$(cpuset 3)" 0 1 /tmp/weak_3.json weak 4 & wait )
   cat /tmp/weak_*.json
   python3 - <<'EOF'
 import json
@@ -44,15 +67,15 @@ EOF
   exit 0
 fi
 
-echo "# N: 1 executor (8 cores), full corpus" >&2
-run_shard 0-7 0 1 /tmp/scale_n.json
+echo "# N: 1 executor ($EC cores), full corpus" >&2
+run_shard "$(cpuset 0)" 0 1 /tmp/scale_n.json
 cat /tmp/scale_n.json
 
-echo "# 4N: 4 executors (8 cores each), disjoint quarters, concurrent" >&2
-run_shard 0-7   0 4 /tmp/scale_4n_0.json &
-run_shard 8-15  1 4 /tmp/scale_4n_1.json &
-run_shard 16-23 2 4 /tmp/scale_4n_2.json &
-run_shard 24-31 3 4 /tmp/scale_4n_3.json &
+echo "# 4N: 4 executors ($EC cores each), disjoint quarters, concurrent" >&2
+run_shard "$(cpuset 0)" 0 4 /tmp/scale_4n_0.json strong 4 &
+run_shard "$(cpuset 1)" 1 4 /tmp/scale_4n_1.json strong 4 &
+run_shard "$(cpuset 2)" 2 4 /tmp/scale_4n_2.json strong 4 &
+run_shard "$(cpuset 3)" 3 4 /tmp/scale_4n_3.json strong 4 &
 wait
 cat /tmp/scale_4n_*.json
 
