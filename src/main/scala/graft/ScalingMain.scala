@@ -131,7 +131,11 @@ object ScalingMain {
         d.mkdirs()
         new java.io.File(d,
           s"ready_${ProcessHandle.current().pid()}").createNewFile()
-        while (d.listFiles().count(_.getName.startsWith("ready_")) < count)
+        // capped wait: a crashed sibling must not deadlock the others —
+        // proceed after 10 min and let the orchestrator spot the gap
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        while (d.listFiles().count(_.getName.startsWith("ready_")) < count
+            && System.nanoTime() < deadline)
           Thread.sleep(200)
       }
       val best = (1 to reps).map(_ => once()).min

@@ -37,7 +37,7 @@ run_shard() { # cpuset idx nshards outfile barrierName barrierCount
     -Dspark.sql.session.timeZone=UTC -Dspark.local.dir=/tmp/spark-scale-$2 \
     -cp "$CP" graft.ScalingMain shard "$EC" "$TURNS" "$2" "$3" "$REPS" \
     "$BARRIER/${5:-solo$2}:${6:-$3}" \
-    2>/dev/null | grep '^{' > "$4"
+    2>/tmp/scale_err_${5:-solo}_$2.log | grep '^{' > "$4"
 }
 
 if [ "${MODE:-strong}" = weak ]; then
