@@ -170,7 +170,10 @@ object SparkEntry {
         .withColumn("salt", pmod(hash(col("o_orderkey")), lit(S)))
       val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
         .withColumn("salt", explode(array((0 until S).map(lit): _*)))
-      fact.join(dim,
+      // merge hint: at fixture scale the optimizer would broadcast the dim,
+      // which hides the thing being demonstrated — salting exists for dims
+      // too big to broadcast, where the shuffle keys on (key, salt)
+      fact.join(dim.hint("merge"),
           fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
