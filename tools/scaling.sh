@@ -32,9 +32,13 @@ cpuset() { echo "$(($1 * EC))-$(($1 * EC + EC - 1))"; }
 BARRIER=$(mktemp -d /tmp/scale_barrier.XXXX)
 
 run_shard() { # cpuset idx nshards outfile barrierName barrierCount
+  # local dir unique per INVOCATION ($BARRIER basename), not per shard idx:
+  # an exiting JVM's shutdown cleanup racing a starting JVM on the same
+  # local dir killed the starter right after BlockManager init
   taskset -c "$1" java $AO -Xms$HEAP -Xmx$HEAP -XX:+AlwaysPreTouch \
     -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC -Dspark.local.dir=/tmp/spark-scale-$2 \
+    -Dspark.sql.session.timeZone=UTC \
+    -Dspark.local.dir="$BARRIER/local-${5:-solo}-$2" \
     -cp "$CP" graft.ScalingMain shard "$EC" "$TURNS" "$2" "$3" "$REPS" \
     "$BARRIER/${5:-solo$2}:${6:-$3}" \
     2>/tmp/scale_err_${5:-solo}_$2.log | grep '^{' > "$4"
