@@ -59,10 +59,22 @@ object Dedup {
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
 
+  /** MinHash band keys: (doc_id, band_key), `Bands` rows per doc. */
+  private def minhashKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(bandKeysUdf(col("text"))).as("band_key"))
+
+  /** SimHash chunk keys: (doc_id, band_key), 4 rows per doc — 16-bit chunks
+    * offset into disjoint key spaces per chunk index.
+    */
+  private def simhashKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        (shiftrightunsigned(simhashUdf(col("text")), c * 16) % 65536) +
+          lit(c.toLong * 65536)): _*)).as("band_key"))
+
   /** MinHash-LSH candidate pairs. Input: (doc_id: long, text: string). */
   def minhashCandidates(docs: DataFrame): DataFrame =
-    pairsFromKeys(docs.select(col("doc_id"),
-      explode(bandKeysUdf(col("text"))).as("band_key")))
+    pairsFromKeys(minhashKeys(docs))
 
   /** MinHash-LSH candidates verified with exact shingle Jaccard ≥ tau. */
   def nearDuplicates(docs: DataFrame, tau: Double): DataFrame = {
@@ -86,10 +98,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhash candidate generation uses 4 chunks => maxHamming ≤ 3, got $maxHamming")
     val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
-    val chunked = sims.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(c =>
-        (shiftrightunsigned(col("sim"), c * 16) % 65536) + lit(c.toLong * 65536)): _*)).as("band_key"))
-    val cand = pairsFromKeys(chunked.select("doc_id", "band_key"))
+    val cand = pairsFromKeys(simhashKeys(docs))
     cand
       .join(sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
@@ -107,11 +116,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .filter(col("n_docs") > 1)
 
-  /** Observability for the MaxBucket cap (no silent truncation). */
-  def bucketStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(bandKeysUdf(col("text"))).as("band_key"))
-      .groupBy("band_key").agg(count(lit(1)).as("n"))
+  /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
+    * tier — "no silent truncation" holds for minhash, simhash AND the
+    * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket
+    * `pairsFromKeys` would drop shows up in n_capped.
+    */
+  def bucketStatsFromKeys(keyed: DataFrame): DataFrame =
+    keyed.groupBy("band_key").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(when(col("n") > MaxBucket, 1).otherwise(0)).as("n_capped"),
         max("n").as("max_bucket"))
+
+  /** Cap observability for the minhash tier. */
+  def bucketStats(docs: DataFrame): DataFrame =
+    bucketStatsFromKeys(minhashKeys(docs))
+
+  /** Cap observability for the simhash tier. */
+  def simhashBucketStats(docs: DataFrame): DataFrame =
+    bucketStatsFromKeys(simhashKeys(docs))
 }

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Banded hyperplane-LSH defaults: `Tables` independent `Bits`-bit
+    * signature tables. Mirrors the minhash band design (Dedup.Bands/Rows):
+    * a near-dup pair only needs to agree on ALL bits of SOME table, so
+    * recall is 1-(1-p^Bits)^Tables instead of a single table's p^Bits; and
+    * the per-bucket MaxBucket cap saturates per TABLE, so a pair dropped
+    * from one table's hot bucket can still surface via another table.
+    * A single 16-bit table has only 65,536 buckets globally — at 10⁹+
+    * vectors every bucket overflows the cap and recall collapses; 8 tables
+    * × 16 bits gives 2²⁰ buckets and 8 independent chances per pair.
+    */
+  final val Tables = 8
+  final val Bits = 16
+
   private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
     VecOps.cosine(a.toArray, b.toArray))
 
@@ -55,43 +68,46 @@ object Similarity {
       k)
   }
 
-  /** Deterministic centroids: seed with the C lowest vec_ids of a bounded
-    * deterministic sample, then one Lloyd refinement pass over the sample.
-    * Centroid quality does not need the full corpus, and the refinement
-    * pass `posexplode`s every sampled vector (dim× row blow-up) — capping
-    * the sample keeps the build O(sampleCap·dim) regardless of corpus size.
+  /** Deterministic centroids in exactly ONE corpus scan: a hash-ordered
+    * top-`sampleCap` sample (TakeOrderedAndProject — per-partition bounded
+    * heaps, no global sort, no count() pre-pass) is collected once, then
+    * seeding and one Lloyd refinement run driver-side over the cap-bounded
+    * sample (≤ sampleCap·dim floats ≈ 16 MB at the defaults). Centroid
+    * quality does not need the full corpus; the full data is only ever
+    * read again by the assignment pass in `ivfTopK`.
     */
   def centroids(spark: SparkSession, corpus: DataFrame, c: Int,
-      sampleCap: Long = 65536L): Array[(Int, Array[Float])] = {
-    val n = corpus.count()
-    val sampled =
-      if (n <= sampleCap) corpus
-      else corpus.filter(
-        pmod(xxhash64(col("vec_id")), lit(n / sampleCap + 1)) === 0)
-    val seed = sampled.orderBy("vec_id").limit(c)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val bcSeed = spark.sparkContext.broadcast(seed)
-    val assignUdf = udf((emb: Seq[Float]) => {
-      val e = emb.toArray
+      sampleCap: Int = 65536): Array[(Int, Array[Float])] = {
+    val sample: Array[(Long, Array[Float])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "centroids: empty corpus")
+    // seed with the c lowest vec_ids of the sample (stable across runs)
+    val seed = sample.sortBy(_._1).take(c).map(_._2)
+    val dim = seed.head.length
+    val sums = Array.fill(seed.length)(new Array[Double](dim))
+    val counts = new Array[Long](seed.length)
+    sample.foreach { case (_, e) =>
       var best = 0; var bestD = Double.MaxValue
       var i = 0
-      while (i < bcSeed.value.length) {
-        val d = VecOps.l2sq(bcSeed.value(i), e)
+      while (i < seed.length) {
+        val d = VecOps.l2sq(seed(i), e)
         if (d < bestD) { bestD = d; best = i }
         i += 1
       }
-      best
-    })
-    val refined = sampled
-      .withColumn("cid", assignUdf(col("embedding")))
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cid", "dim").agg(avg("v").as("m"))
-      .collect()
-    val byC = refined.groupBy(_.getInt(0)).map { case (cid, rows) =>
-      cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      counts(best) += 1
+      val s = sums(best)
+      var j = 0
+      val n = math.min(e.length, dim)
+      while (j < n) { s(j) += e(j); j += 1 }
     }
-    (0 until c).map(i => i -> byC.getOrElse(i, seed(i))).toArray
+    seed.indices.map { i =>
+      if (counts(i) == 0L) i -> seed(i)
+      else i -> sums(i).map(v => (v / counts(i)).toFloat)
+    }.toArray
   }
 
   /** IVF ANN: assign corpus to centroid buckets, probe nProbe buckets per
@@ -99,7 +115,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       k: Int, c: Int = 16, nProbe: Int = 4,
-      sampleCap: Long = 65536L): DataFrame = {
+      sampleCap: Int = 65536): DataFrame = {
     val cents = centroids(spark, corpus, c, sampleCap)
     val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((emb: Seq[Float]) => {
@@ -129,18 +145,55 @@ object Similarity {
       k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket mates
-    * verified with exact cosine ≥ tau. Same scale shape as the text dedup
-    * tiers (Dedup.scala): the bucket shuffle moves (bucket, vec_id) pairs —
-    * never the vectors — and only candidate ids re-join their embeddings.
-    * Identical vectors share every hyperplane sign, so exact duplicates are
-    * always bucket mates (recall 1.0 for cosine = 1); near-duplicates may
-    * straddle a hyperplane — the recall/cost trade is the `bits` knob.
+  /** Deterministic hyperplanes for table `t`, bit `b`. Table 0 reproduces
+    * the original single-table planes (seed stream Lcg.mix(1234, b)), so
+    * `lshBuckets` output is stable across the banding change.
+    */
+  private def planesFor(tables: Int, bits: Int, dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, bits) { (t, b) =>
+      val rng = new core.Lcg(core.Lcg.mix(1234L + 7919L * t, b.toLong))
+      Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
+    }
+
+  /** Banded hyperplane-LSH keys: one (vec_id, band_key) row per table, with
+    * band_key = tableId·2^bits + signature — disjoint key spaces per table,
+    * directly consumable by Dedup.pairsFromKeys / bucketStatsFromKeys.
+    * Computed per-row with NO shuffle; the only bytes that ever shuffle
+    * downstream are (band_key, vec_id) pairs, never the vectors.
+    */
+  def hyperplaneKeys(corpus: DataFrame, tables: Int = Tables,
+      bits: Int = Bits, dim: Int = 64): DataFrame = {
+    require(bits <= 30, s"bits must fit an int signature, got $bits")
+    val planes = planesFor(tables, bits, dim)
+    val keysUdf = udf((emb: Seq[Float]) => {
+      val e = emb.toArray
+      Array.tabulate(tables) { t =>
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          if (VecOps.dot(planes(t)(b), e) >= 0) sig |= (1L << b)
+          b += 1
+        }
+        (t.toLong << bits) | sig
+      }
+    })
+    corpus.select(col("vec_id"), explode(keysUdf(col("embedding"))).as("band_key"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded hyperplane-LSH bucket
+    * mates verified with exact cosine ≥ tau. Same scale shape as the text
+    * dedup tiers (Dedup.scala): the bucket shuffle moves (band_key, vec_id)
+    * pairs — never the vectors — and only candidate ids re-join their
+    * embeddings. Identical vectors agree on every table, and a pair lost to
+    * one table's MaxBucket cap can still surface via another table; cap
+    * drops are observable via `embeddingBucketStats`, never silent.
+    * Recall for cosine-θ pairs is 1-(1-(1-θ/π)^bits)^tables — measured
+    * against planted near-duplicates in OperatorsSpec, not assumed.
     */
   def embeddingNearDuplicates(corpus: DataFrame, tau: Double,
-      bits: Int = 16, dim: Int = 64): DataFrame = {
-    val keyed = lshBuckets(corpus, bits, dim)
-      .select(col("vec_id").as("doc_id"), col("bucket").cast("long").as("band_key"))
+      tables: Int = Tables, bits: Int = Bits, dim: Int = 64): DataFrame = {
+    val keyed = hyperplaneKeys(corpus, tables, bits, dim)
+      .select(col("vec_id").as("doc_id"), col("band_key"))
     val emb = corpus.select(col("vec_id"), col("embedding"))
     Dedup.pairsFromKeys(keyed)
       .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a")), "doc_a")
@@ -150,14 +203,22 @@ object Similarity {
       .select("doc_a", "doc_b", "cos")
   }
 
-  /** Random-hyperplane LSH bucketing (16-bit signatures): the cheap
-    * pre-filter tier for pairwise embedding near-dup at corpus scale.
+  /** MaxBucket-cap observability for the embedding-LSH tier (the "no silent
+    * caps" rule): n_buckets / n_capped / max_bucket over the banded keys.
+    */
+  def embeddingBucketStats(corpus: DataFrame, tables: Int = Tables,
+      bits: Int = Bits, dim: Int = 64): DataFrame =
+    Dedup.bucketStatsFromKeys(
+      hyperplaneKeys(corpus, tables, bits, dim)
+        .select(col("vec_id").as("doc_id"), col("band_key")))
+
+  /** Single-table random-hyperplane bucketing (table 0 of the banded
+    * design): the cheap "which bucket is this vector in" demo/diagnostic.
+    * Pairwise near-dup goes through `embeddingNearDuplicates`, which bands
+    * over `Tables` such tables.
     */
   def lshBuckets(corpus: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame = {
-    val planes: Array[Array[Float]] = Array.tabulate(bits) { b =>
-      val rng = new core.Lcg(core.Lcg.mix(1234L, b.toLong))
-      Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
-    }
+    val planes = planesFor(1, bits, dim)(0)
     val sigUdf = udf((emb: Seq[Float]) => {
       val e = emb.toArray
       var sig = 0

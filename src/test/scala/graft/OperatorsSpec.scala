@@ -124,14 +124,78 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  /** Deterministic near-duplicate of `v`: add orthogonal-ish Lcg noise of
+    * relative magnitude delta ⇒ cosine ≈ 1/sqrt(1+delta²) (< 1 strictly).
+    */
+  private def perturb(v: Array[Float], seed: Long, delta: Double): Array[Float] = {
+    val rng = new core.Lcg(core.Lcg.mix(4242L, seed))
+    val noise = Array.fill(v.length)((rng.nextDouble() * 2 - 1).toFloat)
+    val scale = delta * VecOps.norm(v) / math.max(VecOps.norm(noise), 1e-9)
+    v.zip(noise).map { case (a, b) => (a + scale * b).toFloat }
+  }
+
+  test("banded embedding-LSH: measured recall on planted NEAR-duplicates (cos < 1)") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // plant 20 near-dups at relative noise 0.2 ⇒ cos ≈ 0.98, strictly < 1
+    val plantedRows = base.filter(_._1 < 20).map { case (id, v) =>
+      (id + 300000L, perturb(v, id, 0.2))
+    }
+    val expected = base.filter(_._1 < 20).map { case (id, v) =>
+      (id, id + 300000L, VecOps.cosine(v, plantedRows.find(_._1 == id + 300000L).get._2))
+    }
+    expected.foreach { case (_, _, c) =>
+      assert(c > 0.9 && c < 0.9999, s"planted pair cosine $c not in (0.9, 1)")
+    }
+    val planted = emb.select("vec_id", "embedding")
+      .unionByName(plantedRows.toSeq.toDF("vec_id", "embedding"))
+    val found = Similarity.embeddingNearDuplicates(planted, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = expected.count { case (a, b, _) => found.contains((a, b)) }
+    val recall = hit.toDouble / expected.length
+    info(s"banded LSH near-dup recall @ cos≈0.98 = $recall ($hit/${expected.length})")
+    assert(recall >= 0.9, s"recall $recall below 0.9 — banding regressed")
+    // single-table ablation: the banded design must not be WORSE than one table
+    val single = Similarity.embeddingNearDuplicates(planted, 0.9, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hitSingle = expected.count { case (a, b, _) => single.contains((a, b)) }
+    info(s"single-table ablation recall = ${hitSingle.toDouble / expected.length}")
+    assert(hit >= hitSingle)
+  }
+
+  test("bucket caps are observable (never silent) in all three candidate tiers") {
+    import spark.implicits._
+    val over = Dedup.MaxBucket + 6
+    // text tiers: `over` docs with identical text ⇒ every band/chunk bucket
+    // they land in exceeds MaxBucket
+    val hotDocs = (0 until over).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.bucketStats(hotDocs).head()
+    assert(mh.getLong(1) >= 1, s"minhash n_capped=${mh.getLong(1)}")
+    assert(mh.getLong(2) == over.toLong)
+    val sh = Dedup.simhashBucketStats(hotDocs).head()
+    assert(sh.getLong(1) >= 1, s"simhash n_capped=${sh.getLong(1)}")
+    // embedding tier: `over` identical vectors share every table's bucket
+    val v = emb.select("vec_id", "embedding").head().getSeq[Float](1).toArray
+    val hotVecs = (0 until over).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val eb = Similarity.embeddingBucketStats(hotVecs).head()
+    assert(eb.getLong(1) >= Similarity.Tables.toLong,
+      s"embedding n_capped=${eb.getLong(1)} — cap must be visible per table")
+    assert(eb.getLong(2) == over.toLong)
+    // and the capped bucket is indeed dropped by pairsFromKeys ⇒ the stats
+    // hook is the ONLY way to see it: candidates from the hot bucket = 0
+    assert(Dedup.minhashCandidates(hotDocs).count() == 0)
+  }
+
   test("IVF centroid build under a forced sample cap keeps usable recall") {
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // sampleCap 128 << 500 corpus rows forces the deterministic hash sample
-    val cents = Similarity.centroids(spark, emb, 16, sampleCap = 128L)
+    val cents = Similarity.centroids(spark, emb, 16, sampleCap = 128)
     assert(cents.length == 16)
     val ivf = Similarity.ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5,
-      c = 16, nProbe = 4, sampleCap = 128L)
+      c = 16, nProbe = 4, sampleCap = 128)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(s"IVF recall@5 with sampled centroids = $recall")
