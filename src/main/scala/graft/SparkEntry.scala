@@ -314,7 +314,8 @@ object SparkEntry {
         operators.Multimodal.synthesizeMedia(t(s, dir, "documents")))
         .toDF()
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
-          element_at(col("feat"), 1).as("f0"), col("batch_size"))
+          element_at(col("feat"), 1).as("f0"), col("batch_size"),
+          col("decode_ok"))
         .orderBy("doc_id")),
     "q_langid_docs" -> ((s, dir) =>
       operators.TextAnalysis.langIdBreakdown(t(s, dir, "documents"))

@@ -1,55 +1,127 @@
 package operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import core.Murmur3
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed by batched per-partition "inference".
+  * with typed metadata, processed by batched per-partition inference.
   *
-  * The decode step is a clearly-marked deterministic STUB (no codec
-  * libraries exist in this container); everything around it — the schema,
-  * the binary column handling, the typed boundary, the batch shape
-  * (fixed-size batches inside mapPartitions, the Scala analogue of
-  * mapInPandas batches), and the partitioning — is real and tested.
-  * Swapping `decodeStub` for a JNI/ONNX call is a one-function change.
+  * The image path is REAL end-to-end with zero extra jars: payloads are
+  * genuine PNG bytes (encoded with `javax.imageio`, part of the JDK's
+  * java.desktop module), the decode step is `ImageIO.read`, and the
+  * features are actual pixel statistics (per-channel means, luma variance,
+  * 2×2-grid luma means). A corrupt payload never kills the job — it yields
+  * `decode_ok = false` with zeroed features, the behavior you want when one
+  * bad object hides in 100 TB. Swapping the featurizer for an ONNX/JNI
+  * embedding model changes only `featurize`; the schema, binary-column
+  * flow, typed boundary, batch shape and partitioning stay as tested.
   */
 object Multimodal {
   final val FeatureDim = 8
   final val BatchSize = 64
 
+  // ImageIO defaults to a disk-backed stream cache; images here are small
+  // in-memory byte arrays, so a temp file per decode would be pure overhead
+  ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
       format: String, width: Int, height: Int)
-  final case class MediaFeatures(doc_id: Long, feat: Array[Float], batch_size: Int)
+  final case class MediaFeatures(doc_id: Long, feat: Array[Float],
+      batch_size: Int, decode_ok: Boolean)
 
-  /** Attach a synthetic binary payload + typed metadata to a text table
-    * (stands in for real image bytes; deterministic).
+  /** Deterministic PNG: pixel (x, y) color is a splitmix of
+    * (text-hash, x, y) — content-dependent, reproducible everywhere.
+    */
+  private[operators] def renderPng(docId: Long, text: String,
+      width: Int, height: Int): Array[Byte] = {
+    val seed = Murmur3.hashString(if (text == null) "" else text, docId.toInt)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val m = core.Lcg.mix(seed.toLong, (x.toLong << 20) | y.toLong)
+        img.setRGB(x, y, (m & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val renderUdf = udf((docId: Long, text: String, w: Int, h: Int) =>
+    renderPng(docId, text, w, h))
+
+  /** Attach a real PNG payload + typed metadata to a text table. Size is
+    * doc_id-derived (16-79 px per side) so the fixture covers many shapes.
     */
   def synthesizeMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        lit("fake/raw").as("format"),
-        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int").as("height")).as("meta"))
+      (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("_w"),
+      (pmod(col("doc_id") * 7, lit(64)) + 16).cast("int").as("_h"),
+      col("text"))
+      .select(
+        col("doc_id"),
+        renderUdf(col("doc_id"), col("text"), col("_w"), col("_h")).as("payload"),
+        struct(
+          lit("image/png").as("format"),
+          col("_w").as("width"),
+          col("_h").as("height")).as("meta"))
 
-  /** STUB decode+featurize: a real implementation would decode the payload
-    * (JPEG/PNG/WAV) and run a feature extractor; here features are a
-    * deterministic hash-fold of the bytes so tests pin the plumbing.
+  private[operators] def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Real pixel features, all in [0, 1]:
+    * [meanR, meanG, meanB, stddev(luma), meanLuma(q00), (q01), (q10), (q11)]
+    * where qXY are the 2×2 image quadrants (luma = BT.601 weights).
     */
-  private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
-    val f = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < FeatureDim) {
-      val h = Murmur3.hash(payload, i * 31 + width * 7 + height)
-      f(i) = (h.toDouble / Int.MaxValue.toDouble).toFloat
-      i += 1
+  private[operators] def featurize(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sl = 0.0; var sl2 = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        quad(q) += luma; quadN(q) += 1
+        x += 1
+      }
+      y += 1
     }
-    f
+    val n = (w.toLong * h).toDouble
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    Array(
+      (sr / n / 255.0).toFloat,
+      (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat,
+      (math.sqrt(varL) / 255.0).toFloat,
+      (quad(0) / math.max(quadN(0), 1) / 255.0).toFloat,
+      (quad(1) / math.max(quadN(1), 1) / 255.0).toFloat,
+      (quad(2) / math.max(quadN(2), 1) / 255.0).toFloat,
+      (quad(3) / math.max(quadN(3), 1) / 255.0).toFloat)
   }
 
-  /** Batched per-partition feature extraction: the binary column flows to
+  /** Batched per-partition decode + featurize: the binary column flows to
     * executors once; batches of BatchSize amortize model-session setup
     * exactly like a vectorized UDF would.
     */
@@ -62,8 +134,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           // one "model call" per batch in a real impl
-          batch.map(r => MediaFeatures(r.doc_id,
-            decodeStub(r.payload, r.width, r.height), batch.size))
+          batch.map { r =>
+            decodeImage(r.payload) match {
+              case Some(img) =>
+                MediaFeatures(r.doc_id, featurize(img), batch.size, decode_ok = true)
+              case None =>
+                MediaFeatures(r.doc_id, new Array[Float](FeatureDim), batch.size,
+                  decode_ok = false)
+            }
+          }
         }
       }
   }

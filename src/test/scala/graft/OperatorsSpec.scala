@@ -252,11 +252,49 @@ class OperatorsSpec extends AnyFunSuite {
     val media = Multimodal.synthesizeMedia(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length == docs.count())
+    assert(feats.forall(_.decode_ok), "every synthesized PNG must decode")
     assert(feats.forall(_.feat.length == Multimodal.FeatureDim))
     assert(feats.forall(f => f.batch_size >= 1 && f.batch_size <= Multimodal.BatchSize))
     // determinism under repartition
     val feats2 = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
     assert(feats.map(f => f.doc_id -> f.feat.toSeq).toMap ==
       feats2.map(f => f.doc_id -> f.feat.toSeq).toMap)
+  }
+
+  test("multimodal decode is real: PNG round-trips dims and pixel stats") {
+    import javax.imageio.ImageIO
+    val media = Multimodal.synthesizeMedia(docs.limit(8)).collect()
+    media.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // genuine PNG magic, decodable by plain ImageIO outside our code path
+      assert(payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val meta = r.getStruct(2)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null)
+      assert(img.getWidth == meta.getInt(1) && img.getHeight == meta.getInt(2),
+        s"decoded dims ${img.getWidth}x${img.getHeight} != meta")
+    }
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.synthesizeMedia(docs.limit(100))).collect()
+    // real pixel statistics: bounded, non-degenerate, content-dependent
+    assert(feats.forall(_.feat.forall(v => v >= 0f && v <= 1f)))
+    assert(feats.forall(_.feat(3) > 0f), "hash-noise images must have luma variance")
+    assert(feats.map(_.feat.toSeq).distinct.length == feats.length,
+      "different docs must yield different pixel features")
+  }
+
+  test("multimodal: a corrupt payload flags decode_ok=false, never kills the job") {
+    import spark.implicits._
+    val good = Multimodal.synthesizeMedia(docs.limit(3))
+    val corrupt = Seq((999999L, Array[Byte](1, 2, 3, 4), ("image/png", 16, 16)))
+      .toDF("doc_id", "payload", "meta")
+      .select(col("doc_id"), col("payload"),
+        struct(col("meta._1").as("format"), col("meta._2").as("width"),
+          col("meta._3").as("height")).as("meta"))
+    val feats = Multimodal.extractFeatures(spark, good.unionByName(corrupt)).collect()
+    assert(feats.length == 4)
+    val bad = feats.find(_.doc_id == 999999L).get
+    assert(!bad.decode_ok && bad.feat.forall(_ == 0f))
+    assert(feats.filter(_.doc_id != 999999L).forall(_.decode_ok))
   }
 }
