@@ -69,8 +69,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + coldSec + steadySec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec}""")
+    // a failed query must never FLATTER the headline: with any failure the
+    // total itself is reported as -1 (per-query -1 markers say which)
+    val nFailed = results.count(_._2 < 0)
+    val total =
+      if (nFailed > 0) -1.0
+      else results.map(_._2).sum + coldSec + steadySec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed_queries":$nFailed,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec}""")
     spark.stop()
   }
 }

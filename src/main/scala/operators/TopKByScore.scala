@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -29,9 +29,15 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ExpectsInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
+
+  // update() hard-casts score→Double / id→Long; declaring the input types
+  // makes a FloatType score or IntegerType id fail at ANALYSIS time
+  // instead of ClassCastException on executors mid-job
+  // (return type inferred: AbstractDataType is private[sql] by name)
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 

@@ -110,11 +110,26 @@ object QualityFilterJob {
           (runId, pid, rule, hits, in, kept, bytes, wallMsSoFar)
         } :+ ((runId, pid, "_total", in - kept, in, kept, bytes, wallMsSoFar))
     }
+    import spark.implicits._
+    val metricsPath = new org.apache.hadoop.fs.Path(s"$outDir/metrics")
+    val fs = metricsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (metricRows.nonEmpty) {
-      import spark.implicits._
+      // a zero-work run on a fresh dir may have left a root-level empty
+      // marker file; remove it so partition discovery never sees a mixed
+      // root-file/partition-dir layout
+      if (fs.exists(metricsPath))
+        fs.listStatus(metricsPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .foreach(s => fs.delete(s.getPath, false))
       metricRows.toDF(metricsSchemaCols: _*)
         .write.mode(SaveMode.Overwrite).partitionBy("partition_id")
         .parquet(s"$outDir/metrics")
+    } else if (!fs.exists(metricsPath)) {
+      // zero rows processed on a fresh dir: still create the metrics path
+      // (an empty typed table) so downstream readers never hit missing-path;
+      // when prior metrics exist they are left untouched
+      metricRows.toDF(metricsSchemaCols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
     }
 
     // ---- commit: all pending partitions that produced rows

@@ -102,6 +102,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("TopKByScore rejects mistyped score/id at analysis time, not on executors") {
+    val df = spark.range(5).toDF("id")
+      .select(col("id"), col("id").cast("float").as("s"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(operators.TopKByScore(col("s"), col("id"), 3)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("approx_count_distinct stays inside the advertised HLL error bound") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val rsd = 0.05

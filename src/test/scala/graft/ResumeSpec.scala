@@ -80,6 +80,21 @@ class ResumeSpec extends AnyFunSuite {
     } finally deleteRec(java.nio.file.Paths.get(dir))
   }
 
+  test("zero-work run on a fresh dir still creates a readable empty metrics table") {
+    // every partition already committed upstream ⇒ the run processes zero
+    // rows; downstream readers must still find $dir/metrics (empty, typed)
+    val dir = Files.createTempDirectory("graft_metrics_empty").toString
+    try {
+      Manifest.write(dir, Manifest("pre", "synth@seed42", "rulespec-v1",
+        (0 until QualityFilterJob.LogicalPartitions).toSet))
+      val res = QualityFilterJob.run(spark, SynthStore(Target), dir, "runE")
+      assert(res.processedPartitions.isEmpty && res.turnsIn == 0)
+      val m = spark.read.parquet(s"$dir/metrics")
+      assert(m.count() == 0)
+      assert(QualityFilterJob.metricsSchemaCols.toSet.subsetOf(m.columns.toSet))
+    } finally deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("manifest round-trips") {
     val m = Manifest("r1", "snap", "sha", Set(3, 1, 2))
     assert(Manifest.parse(Manifest.render(m)) == m)
