@@ -14,6 +14,35 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("deterministic no_oracle queries match their pinned golden outputs") {
+    // these queries are hash/plane-deterministic but not SQL-expressible,
+    // so the driver only checks row counts; the pinned fixture catches a
+    // value regression (Shingles fingerprint, simhash, Lcg hyperplanes)
+    val spark = SparkTestSession.spark
+    def fmt(v: Any): String = v match {
+      case d: Double => f"$d%.4f"
+      case f: Float => f"$f%.4f"
+      case other => String.valueOf(other)
+    }
+    val golden = spark.read.json("fixtures/golden_queries.json")
+      .collect()
+      .map(r => (r.getAs[String]("query"), r.getAs[String]("columns"),
+        r.getAs[String]("row")))
+      .groupBy(_._1)
+    assert(golden.keySet == Set("q_dedup_fingerprint", "q_dedup_simhash",
+      "q_dedup_embedding", "q_lsh_buckets"))
+    golden.toSeq.sortBy(_._1).foreach { case (name, rows) =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(df.columns.mkString(",") == rows.head._2,
+        s"$name columns ${df.columns.mkString(",")} != pinned ${rows.head._2}")
+      val got = df.collect().map(_.toSeq.map(fmt).mkString("|")).sorted.toSeq
+      val want = rows.map(_._3).sorted.toSeq
+      assert(got == want,
+        s"$name: ${got.size} vs ${want.size} rows; first diff: " +
+          got.zipAll(want, "<none>", "<none>").find(p => p._1 != p._2))
+    }
+  }
+
   test("entry returns rows on the smoke tier") {
     assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
   }

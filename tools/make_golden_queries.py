@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Pin expected outputs for the fully-deterministic no_oracle queries.
+
+Reads graft.Verify output parquet (run at sf0.001) and freezes rows into
+fixtures/golden_queries.json (JSON-lines: one object per result row).
+QueriesSmokeSpec replays the queries and asserts exact equality, so a
+regression in the pinned hashes (Shingles fingerprint, Lcg hyperplanes,
+simhash) fails a test instead of silently changing row counts.
+
+Value formatting (must match the Scala side in QueriesSmokeSpec):
+integers verbatim, floating-point as %.4f (all pinned queries round to
+4 decimals already).
+
+Usage: python3 tools/make_golden_queries.py /tmp/verify_out
+"""
+import json
+import sys
+
+import duckdb
+
+QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
+           "q_lsh_buckets"]
+
+def fmt(v):
+    if isinstance(v, float):
+        return f"{v:.4f}"
+    return str(v)
+
+def main(out_dir):
+    con = duckdb.connect()
+    with open("fixtures/golden_queries.json", "w") as f:
+        for q in QUERIES:
+            rel = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+            cols = rel.columns
+            rows = sorted(rel.fetchall())
+            for r in rows:
+                f.write(json.dumps({
+                    "query": q,
+                    "columns": ",".join(cols),
+                    "row": "|".join(fmt(v) for v in r),
+                }) + "\n")
+            print(f"{q}: {len(rows)} rows, cols={cols}")
+    print("wrote fixtures/golden_queries.json")
+
+if __name__ == "__main__":
+    main(sys.argv[1])
