@@ -32,16 +32,34 @@ cpuset() { echo "$(($1 * EC))-$(($1 * EC + EC - 1))"; }
 BARRIER=$(mktemp -d /tmp/scale_barrier.XXXX)
 
 run_shard() { # cpuset idx nshards outfile barrierName barrierCount
-  # local dir unique per INVOCATION ($BARRIER basename), not per shard idx:
-  # an exiting JVM's shutdown cleanup racing a starting JVM on the same
-  # local dir killed the starter right after BlockManager init
+  # discriminator unique per LAUNCH, derived from the output file — NOT per
+  # shard idx: weak mode launches its 4 concurrent shards all with idx=0,
+  # which used to share one stderr log (each open truncated it) and one
+  # spark.local.dir. The shared local dir + clobbered log is the best
+  # explanation for round-2's "executor died silently, stderr clean"
+  # episodes: an exiting JVM's shutdown cleanup racing a starter on the
+  # same local dir kills the starter right after BlockManager init, and
+  # the sibling's log truncation hid the evidence.
+  local disc rc
+  disc=$(basename "$4" .json)
+  set +e
   taskset -c "$1" java $AO -Xms$HEAP -Xmx$HEAP -XX:+AlwaysPreTouch \
+    -XX:+ExitOnOutOfMemoryError \
+    -XX:ErrorFile="/tmp/scale_hs_err_${disc}.log" \
     -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
-    -Dspark.local.dir="$BARRIER/local-${5:-solo}-$2" \
+    -Dspark.local.dir="$BARRIER/local-$disc" \
     -cp "$CP" graft.ScalingMain shard "$EC" "$TURNS" "$2" "$3" "$REPS" \
     "$BARRIER/${5:-solo$2}:${6:-$3}" \
-    2>/tmp/scale_err_${5:-solo}_$2.log | grep '^{' > "$4"
+    2>"/tmp/scale_err_${disc}.log" | grep '^{' > "$4"
+  rc=${PIPESTATUS[0]}
+  set -e
+  if [ "$rc" != 0 ] || [ ! -s "$4" ]; then
+    # a dead shard is never silent: name it, surface its exit code + log
+    echo "## SHARD FAILED disc=$disc cpuset=$1 java_rc=$rc out=$4" >&2
+    tail -5 "/tmp/scale_err_${disc}.log" >&2 || true
+    return 1
+  fi
 }
 
 if [ "${MODE:-strong}" = weak ]; then
