@@ -24,7 +24,11 @@ REPS=${2:-2}
 EC=${EC:-4}
 HEAP=${HEAP:-10g}
 AO="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-CP="$(dirname "$0")/../target/scala-2.13/classes:/opt/spark/jars/*"
+# CP must be ABSOLUTE: the weak-mode block cd's to /tmp before launching,
+# and a relative classpath there means instant ClassNotFoundException —
+# this (hidden by the shared, self-truncating stderr logs) was the round-2
+# "executor died silently right after startup" mystery
+CP="$(cd "$(dirname "$0")/.." && pwd)/target/scala-2.13/classes:/opt/spark/jars/*"
 
 # disjoint cpu sets: executor i gets cpus [i*EC, (i+1)*EC)
 cpuset() { echo "$(($1 * EC))-$(($1 * EC + EC - 1))"; }
@@ -70,7 +74,12 @@ if [ "${MODE:-strong}" = weak ]; then
   run_shard "$(cpuset 0)" 0 1 /tmp/scale_n.json
   cat /tmp/scale_n.json
   echo "# weak 4N: 4 executors, full corpus EACH, concurrent" >&2
-  ( cd /tmp && run_shard "$(cpuset 0)" 0 1 /tmp/weak_0.json weak 4 & \
+  # NOTE: this block used to be `( cd /tmp && run_shard ... & ... )`.
+  # Bash binds `cd /tmp && run_shard A` as ONE background job, so only
+  # shard 0 ran with cwd=/tmp — where the (then-relative) classpath did
+  # not resolve ⇒ instant ClassNotFoundException. That asymmetry is why
+  # round-2 weak runs lost exactly the cpuset-0-3 executor, twice.
+  ( run_shard "$(cpuset 0)" 0 1 /tmp/weak_0.json weak 4 & \
     run_shard "$(cpuset 1)" 0 1 /tmp/weak_1.json weak 4 & \
     run_shard "$(cpuset 2)" 0 1 /tmp/weak_2.json weak 4 & \
     run_shard "$(cpuset 3)" 0 1 /tmp/weak_3.json weak 4 & wait )
