@@ -41,12 +41,16 @@ object Multimodal {
       width: Int, height: Int): Array[Byte] = {
     val seed = Murmur3.hashString(if (text == null) "" else text, docId.toInt)
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    // write the backing int raster directly: setRGB runs a color-model
+    // conversion per call, ~an order of magnitude slower for full frames
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val m = core.Lcg.mix(seed.toLong, (x.toLong << 20) | y.toLong)
-        img.setRGB(x, y, (m & 0xffffff).toInt)
+        px(y * width + x) = (m & 0xffffff).toInt
         x += 1
       }
       y += 1
@@ -87,6 +91,9 @@ object Multimodal {
   private[operators] def featurize(img: BufferedImage): Array[Float] = {
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk getRGB: the per-pixel overload converts through the color
+    // model on every call, which dominates decode time for small images
+    val pixels = img.getRGB(0, 0, w, h, null, 0, w)
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     var sl = 0.0; var sl2 = 0.0
     val quad = new Array[Double](4)
@@ -95,7 +102,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = pixels(y * w + x)
         val r = (rgb >> 16) & 0xff
         val g = (rgb >> 8) & 0xff
         val b = rgb & 0xff
