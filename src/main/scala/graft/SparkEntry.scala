@@ -269,6 +269,21 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy("text").agg(min("doc_id").as("keep_id"))
         .agg(count(lit(1)).as("n"))),
+    // incremental (cross-batch) dedup: incoming = planted re-crawls of
+    // history (same text, remapped ids) + genuinely new revisions; result
+    // is EXACT (bloom prefilter + confirming anti-join), so DuckDB can
+    // pin it with a plain NOT EXISTS
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      operators.Dedup.incrementalNew(docs, incoming, expectedItems = 100000L)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
 
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
@@ -570,6 +585,15 @@ object SparkEntry {
     "q_dedup_first" ->
       """SELECT count(*) AS n FROM (
         |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text)""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT i.doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
     "q_window_rolling" ->
       """SELECT event_id, CAST(round(roll*100) AS BIGINT) AS roll_cents FROM (
         |  SELECT event_id, sum(value) OVER (PARTITION BY user_id

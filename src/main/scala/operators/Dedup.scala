@@ -116,6 +116,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Bloom filter over the history corpus's text hashes — the carried
+    * state of incremental dedup. One scan of one hashed column; the
+    * returned filter is ~1.2 bytes/key at fpp=0.01 (1.2 GB for 10⁹ docs),
+    * built distributed by Spark's bloomFilter aggregate and mergeable
+    * across runs via `BloomFilter.mergeInPlace`. In production this is
+    * built ONCE, persisted, and updated per batch — history is not
+    * rescanned per incoming batch.
+    */
+  def historyBloom(history: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    history.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+
+  /** Incremental (cross-batch) exact dedup: the rows of `incoming` whose
+    * text does not appear in `history` — the production shape of dedup at
+    * corpus scale, where today's batch must be checked against 100 TB of
+    * history WITHOUT an all-vs-all join.
+    *
+    * Plan shape: the broadcast bloom prunes the incoming side first — only
+    * rows the bloom claims are seen (true duplicates + an fpp-bounded
+    * sliver of new rows) reach the confirming left-anti join, so the
+    * shuffled incoming side shrinks from |incoming| to
+    * ~|dups| + fpp·|new|. The confirm join keeps the result EXACT: bloom
+    * false positives are rescued, so the output equals a plain anti-join
+    * on text (asserted in OperatorsSpec and against the DuckDB oracle).
+    * The history side of the confirm join scans only the pruned text
+    * column; with persisted blooms (see `historyBloom`) even that scan is
+    * amortized across batches.
+    */
+  def incrementalNew(history: DataFrame, incoming: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val bloomBc =
+      spark.sparkContext.broadcast(historyBloom(history, expectedItems, fpp))
+    val seen = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val keyed = incoming.withColumn("_h", xxhash64(col("text")))
+    val sureNew = keyed.filter(!seen(col("_h")))
+    val suspects = keyed.filter(seen(col("_h")))
+      .join(history.select("text"), Seq("text"), "left_anti")
+    sureNew.unionByName(suspects).drop("_h")
+  }
+
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket

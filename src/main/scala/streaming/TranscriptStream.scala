@@ -57,6 +57,19 @@ object TranscriptStream {
       .select(col("window.start").as("win_start"), col("turns"), col("kept"))
   }
 
+  /** Streaming exact dedup: at-least-once sources (Kafka, file redelivery)
+    * emit duplicate turns; drop re-deliveries of the same (conv_id,
+    * turn_idx) across micro-batches. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by event time — state for keys older than the
+    * watermark is evicted, so state size tracks the watermark horizon, not
+    * the stream's lifetime (the only viable shape for an unbounded
+    * stream).
+    */
+  def dedupedTurns(turns: DataFrame): DataFrame =
+    turns
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** S4: conversation sessionization by 30-minute inactivity gap. */
   def sessions(turns: DataFrame): DataFrame =
     turns

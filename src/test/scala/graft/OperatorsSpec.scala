@@ -51,6 +51,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"missing near-dup pairs: $missing")
   }
 
+  test("incremental dedup: bloom prefilter + confirm equals a plain anti-join") {
+    val history = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // incoming: re-crawls of history (same text, new ids) + genuinely new
+    val incoming = history.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionByName(history.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+    val got = Dedup.incrementalNew(history, incoming, expectedItems = 10000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = incoming.join(history.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty && got.forall(_ >= 600000L),
+      "only the revised docs are new")
+  }
+
+  test("incremental dedup: the bloom prunes the confirm join's input") {
+    val history = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val incoming = history
+      .select((col("doc_id") + 500000).as("doc_id"), col("text")) // all dups
+      .unionByName(history
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text"))) // all new
+    val bloom = Dedup.historyBloom(history, expectedItems = 10000, fpp = 0.01)
+    val hashes = incoming.select(xxhash64(col("text")).as("h"), col("doc_id"))
+      .collect()
+    val claimed = hashes.count(r => bloom.mightContainLong(r.getLong(0)))
+    val dups = hashes.count(_.getLong(1) < 600000L)
+    info(s"bloom claims $claimed of ${hashes.length} (true dups: $dups)")
+    // every true duplicate is claimed (no false negatives possible), and
+    // false positives stay within ~3x the configured 1% fpp
+    assert(claimed >= dups)
+    assert(claimed - dups <= math.max(5, (hashes.length - dups) * 3 / 100),
+      s"false-positive rate far above configured fpp: ${claimed - dups}")
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))

@@ -135,6 +135,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 3, s"expected the late row to be dropped, got $total")
   }
 
+  test("streaming dedup drops at-least-once redeliveries across micro-batches") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val base = 1735689600000L
+    writeOrderedBatches(dir, Seq(
+      Seq(turnAt("d1", 0, base), turnAt("d1", 1, base + 60000L)),
+      // batch 2: redelivery of (d1, 0) — same key, later arrival inside the
+      // watermark horizon — plus one genuinely new turn
+      Seq(turnAt("d1", 0, base + 120000L), turnAt("d2", 0, base + 180000L))))
+    val q = TranscriptStream.dedupedTurns(
+      TranscriptStream.readTurns(spark, dir)).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql("SELECT conv_id, turn_idx FROM dedup").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.length == 3, s"redelivered turn must be dropped: ${rows.toSeq}")
+    assert(rows.toSet == Set(("d1", 0), ("d1", 1), ("d2", 0)))
+  }
+
   test("S2-S4: watermarked tumbling windows and session windows aggregate") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     writeSplitInput(dir, 800L)
