@@ -457,7 +457,34 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) =>
       operators.TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
     "q_quality" -> ((s, dir) =>
-      operators.TextAnalysis.qualitySignals(t(s, dir, "documents")).orderBy("doc_id")))
+      operators.TextAnalysis.qualitySignals(t(s, dir, "documents")).orderBy("doc_id")),
+    // exact percentiles (linear interpolation — the sequence-length stats a
+    // curriculum/packing stage reads); DuckDB quantile_cont is the same
+    // definition
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)) * 100).cast("long").as("p50_c"),
+          round(percentile(col("n_chars"), lit(0.9)) * 100).cast("long").as("p90_c"),
+          round(percentile(col("n_chars"), lit(0.99)) * 100).cast("long").as("p99_c"),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
+    // sequence packing + deterministic split: hash/partition-layout
+    // dependent (rows-only driver check; gated by PackingSpec)
+    "q_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      operators.Packing.packingStats(
+        operators.Packing.packSequences(docs, maxTokens = 256, numPartitions = 8),
+        maxTokens = 256)
+    }),
+    "q_split" -> ((s, dir) =>
+      operators.Sampling.assignSplit(t(s, dir, "events"), "user_id",
+        valPermille = 50, testPermille = 50)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("split")))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -643,5 +670,12 @@ object SparkEntry {
         |   AND len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) >= 5
         |   AND 20*len(regexp_extract_all(lower(text), '\b(the|and|for|with|that|this|from|have|are|was)\b'))
         |       >= len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+'))) AS ok_quality
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT source,
+        | CAST(round(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_c,
+        | CAST(round(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_c,
+        | CAST(round(quantile_cont(n_chars, 0.99) * 100) AS BIGINT) AS p99_c,
+        | count(*) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import operators.{Packing, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing and deterministic splitting — the two layout-dependent
+  * training-data ops with no SQL oracle: checked by exhaustive invariants.
+  */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n_tokens"))
+
+  test("packing assigns every doc exactly once and respects the capacity") {
+    val maxTok = 256
+    val packed = Packing.packSequences(docs, maxTok, numPartitions = 8).cache()
+    try {
+      val in = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val out = packed.toDF().select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(out.sameElements(in), "exactly-once coverage")
+
+      val bins = packed.toDF().groupBy("seq_id")
+        .agg(sum("n_tokens").as("t"), count(lit(1)).as("d"),
+          max(col("oversize").cast("int")).as("over"))
+        .collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("d"), r.getAs[Int]("over")))
+      val overfull = bins.filter(b => b._3 == 0 && b._1 > maxTok)
+      assert(overfull.isEmpty, s"bins over capacity: ${overfull.take(3).toSeq}")
+      // an oversize doc sits alone in its bin, flagged
+      val overBins = bins.filter(_._3 == 1)
+      assert(overBins.forall(_._2 == 1L), "oversize bins are singletons")
+      val nOversizeDocs = docs.filter(col("n_tokens") > maxTok).count()
+      assert(overBins.length.toLong == nOversizeDocs)
+    } finally packed.unpersist()
+  }
+
+  test("packing fill ratio is measured and first-fit-decreasing-tight") {
+    val stats = Packing.packingStats(
+      Packing.packSequences(docs, 256, numPartitions = 8), 256).head()
+    val fill = stats.getAs[Double]("fill_ratio")
+    info(s"fill ratio = $fill over ${stats.getAs[Long]("n_bins")} bins")
+    assert(fill >= 0.7, s"FFD should pack tighter than $fill")
+    assert(stats.getAs[Long]("max_bin_tokens") <= 256)
+  }
+
+  test("packing is deterministic for a pinned partition layout") {
+    val a = Packing.packSequences(docs, 256, numPartitions = 8)
+      .collect().map(p => (p.doc_id, p.seq_id)).sorted
+    val b = Packing.packSequences(docs, 256, numPartitions = 8)
+      .collect().map(p => (p.doc_id, p.seq_id)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("split is a deterministic partition of the corpus, group-coherent") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val split = Sampling.assignSplit(events, "user_id", 100, 100).cache()
+    try {
+      assert(split.count() == events.count())
+      // every user lands in exactly one split — no group leakage
+      val leaky = split.groupBy("user_id")
+        .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+      assert(leaky == 0)
+      // repartitioning does not change the assignment (pure function of key)
+      val a = split.select("user_id", "split").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val b = Sampling.assignSplit(events.repartition(17), "user_id", 100, 100)
+        .select("user_id", "split").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(a == b)
+    } finally split.unpersist()
+    // fraction check needs key cardinality: 500 doc_ids, 10%/10% split
+    val docsT = spark.read.parquet(s"$sf/documents.parquet")
+    val bySplit = Sampling.assignSplit(docsT, "doc_id", 100, 100)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum.toDouble
+    for (nm <- Seq("val", "test"); n = bySplit.getOrElse(nm, 0L))
+      assert(n / total > 0.03 && n / total < 0.25,
+        s"$nm fraction ${n / total} far from 10%")
+  }
+
+  test("deterministic sample is a stable subset matching its bucket rule") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val s1 = Sampling.deterministicSample(events, "user_id", 100)
+    val ids = s1.select("event_id").collect().map(_.getLong(0)).sorted
+    val again = Sampling.deterministicSample(events, "user_id", 100)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(again))
+    assert(ids.length > 0 && ids.length < events.count())
+  }
+}
