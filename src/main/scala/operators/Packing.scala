@@ -48,10 +48,11 @@ object Packing {
       .as[(Long, Int)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
-        // open bins as (local_bin_id, tokens_used); input arrives size-desc,
-        // so a new bin opens only when every open bin is nearly full —
-        // evicting the fullest (min remaining) when over MaxOpenBins cannot
-        // lose a future fit that a kept bin would have taken
+        // open bins as (local_bin_id, tokens_used); when over MaxOpenBins,
+        // evict the fullest (min remaining) — that forfeits the least
+        // future capacity. Eviction can only cost fill ratio (a small doc
+        // that would have fit the evicted bin opens a new one), never
+        // correctness; the spec measures the ratio rather than assuming it
         val open = ArrayBuffer.empty[(Long, Int)]
         var nextLocal = 0L
         it.map { case (docId, rawTok) =>
