@@ -484,7 +484,13 @@ object SparkEntry {
         valPermille = 50, testPermille = 50)
         .groupBy("split")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
-        .orderBy("split")))
+        .orderBy("split")),
+    "q_remix" -> ((s, dir) =>
+      operators.Sampling.remix(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.4, "src1" -> 2.0, "src2" -> 2.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), max("mix_copy").as("max_copy"))
+        .orderBy("source")))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->

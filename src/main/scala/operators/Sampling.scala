@@ -44,4 +44,40 @@ object Sampling {
     require(permille >= 0 && permille <= 1000, s"bad permille $permille")
     df.filter(hashBucket(col(keyCol)) < permille * (Buckets / 1000))
   }
+
+  /** Deterministic data mixing: re-weight domains/sources to target rates
+    * — rate < 1 downsamples (keep the stable bottom `rate` of key
+    * buckets), rate ≥ 1 upsamples by whole-copy replication plus a
+    * fractional bucket slice; rows of replicated copies carry
+    * `mix_copy` = 0..⌈rate⌉-1 so downstream shuffling/packing can spread
+    * them. Unlisted groups keep rate 1.0.
+    *
+    * Scale shape: rates ride a tiny broadcast map join (one row per
+    * group); sampling is the pure-projection bucket filter; upsampling is
+    * `explode(sequence(...))` — no shuffle anywhere, and the mix is
+    * reproducible run-over-run (the property `DataFrame.sample` +
+    * `union` cannot give you).
+    */
+  def remix(df: DataFrame, groupCol: String, keyCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 100),
+      s"rates out of [0,100]: $rates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(
+      rates.toSeq.toDF(groupCol, "_rate"))
+    val b = hashBucket(col(keyCol))
+    df.join(rateDf, Seq(groupCol), "left")
+      .withColumn("_rate", coalesce(col("_rate"), lit(1.0)))
+      // whole copies: floor(rate); one extra copy for the stable bucket
+      // slice covering the fractional remainder
+      .withColumn("_copies",
+        floor(col("_rate")).cast("int")
+          + when(b < ((col("_rate") % 1.0) * Buckets).cast("long"), 1)
+            .otherwise(0))
+      .filter(col("_copies") > 0)
+      .withColumn("mix_copy",
+        explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_rate", "_copies")
+  }
 }

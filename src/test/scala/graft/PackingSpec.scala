@@ -82,6 +82,36 @@ class PackingSpec extends AnyFunSuite {
         s"$nm fraction ${n / total} far from 10%")
   }
 
+  test("remix hits target rates deterministically; unlisted groups untouched") {
+    val docsT = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("src0" -> 0.4, "src1" -> 2.0, "src2" -> 2.5)
+    val mixed = Sampling.remix(docsT, "source", "doc_id", rates).cache()
+    try {
+      val bySrc = mixed.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // unlisted sources: exactly unchanged, single copy
+      assert(bySrc("src3") == 25L)
+      assert(mixed.filter(col("source") === "src3" && col("mix_copy") =!= 0)
+        .count() == 0)
+      // whole-number upsample: exactly rate x n
+      assert(bySrc("src1") == 50L, s"2.0x of 25 must be exactly 50: $bySrc")
+      // fractional rates: within binomial tolerance of the target
+      assert(bySrc("src0") >= 3 && bySrc("src0") <= 18, s"0.4x25: $bySrc")
+      assert(bySrc("src2") >= 55 && bySrc("src2") <= 70, s"2.5x25: $bySrc")
+      // replication is per-key exact: each kept src2 key has 2 or 3 copies
+      val copies = mixed.filter(col("source") === "src2")
+        .groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+      assert(copies.subsetOf(Set(2L, 3L)), s"src2 copies: $copies")
+      // deterministic: a rerun is row-identical
+      val again = Sampling.remix(docsT, "source", "doc_id", rates)
+        .select("doc_id", "mix_copy").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+      val first = mixed.select("doc_id", "mix_copy").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+      assert(first.sameElements(again))
+    } finally mixed.unpersist()
+  }
+
   test("deterministic sample is a stable subset matching its bucket rule") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val s1 = Sampling.deterministicSample(events, "user_id", 100)
