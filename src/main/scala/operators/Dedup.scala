@@ -126,8 +126,15 @@ object Dedup {
     */
   def historyBloom(history: DataFrame, expectedItems: Long,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    history.select(xxhash64(col("text")).as("h"))
+    try history.select(xxhash64(col("text")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
+    catch {
+      // Spark's bloomFilter aggregate yields null bytes over ZERO input
+      // rows and readFrom NPEs on them; an empty history is a legitimate
+      // first run — return an empty filter (claims nothing)
+      case _: NullPointerException =>
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    }
 
   /** Incremental (cross-batch) exact dedup: the rows of `incoming` whose
     * text does not appear in `history` — the production shape of dedup at

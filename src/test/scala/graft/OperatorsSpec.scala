@@ -88,6 +88,16 @@ class OperatorsSpec extends AnyFunSuite {
       s"false-positive rate far above configured fpp: ${claimed - dups}")
   }
 
+  test("incremental dedup edge cases: empty history, empty incoming") {
+    val all = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val none = all.filter(lit(false))
+    // empty history: everything is new (the bloom claims nothing)
+    assert(Dedup.incrementalNew(none, all, expectedItems = 100).count()
+      == all.count())
+    // empty incoming: nothing to emit
+    assert(Dedup.incrementalNew(all, none, expectedItems = 10000).count() == 0)
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))

@@ -112,6 +112,25 @@ class PackingSpec extends AnyFunSuite {
     } finally mixed.unpersist()
   }
 
+  test("remix rate 0 drops the group; packing handles all-oversize input") {
+    val docsT = spark.read.parquet(s"$sf/documents.parquet")
+    val mixed = Sampling.remix(docsT, "source", "doc_id", Map("src0" -> 0.0))
+    assert(mixed.filter(col("source") === "src0").count() == 0)
+    assert(mixed.filter(col("source") === "src1").count() == 25)
+
+    // every doc over capacity: one flagged singleton bin each, none lost
+    val tiny = Packing.packSequences(docs, maxTokens = 1, numPartitions = 4)
+      .cache()
+    try {
+      assert(tiny.count() == docs.count())
+      assert(tiny.filter(!col("oversize")).count() ==
+        docs.filter(col("n_tokens") <= 1).count())
+      val binSizes = tiny.toDF().filter(col("oversize"))
+        .groupBy("seq_id").count().filter(col("count") > 1).count()
+      assert(binSizes == 0, "oversize bins must be singletons")
+    } finally tiny.unpersist()
+  }
+
   test("deterministic sample is a stable subset matching its bucket rule") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val s1 = Sampling.deterministicSample(events, "user_id", 100)
