@@ -490,7 +490,24 @@ object SparkEntry {
         Map("src0" -> 0.4, "src1" -> 2.0, "src2" -> 2.5))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), max("mix_copy").as("max_copy"))
-        .orderBy("source")))
+        .orderBy("source")),
+    // end-to-end training-data composition: quality filter → conv-level
+    // dedup → split → pack (1/4 corpus like q_pipeline_mp; summary row)
+    "q_training_e2e" -> ((s, dir) => {
+      Sessions.tune(s)
+      val kept = QualityPipeline.score(
+        SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+        .filter(col("keep"))
+      val (_, res) = pipeline.TrainingDataJob.assign(s, kept, maxTokens = 2048)
+      import s.implicits._
+      Seq((res.convsIn, res.convsKept,
+        res.splitConvs.getOrElse("train", 0L),
+        res.splitConvs.getOrElse("val", 0L),
+        res.splitConvs.getOrElse("test", 0L),
+        res.bins, math.round(res.fillRatio * 10000)))
+        .toDF("convs_in", "convs_kept", "n_train", "n_val", "n_test",
+          "bins", "fill_bp")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->

@@ -1,0 +1,96 @@
+package pipeline
+
+import operators.{Packing, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The downstream half of the training-data pipeline: what a corpus
+  * consumer runs over `QualityFilterJob`'s kept output to get model-ready
+  * data — conversation-level exact dedup, reproducible group-coherent
+  * train/val/test splits, and fixed-token sequence packing.
+  *
+  * Everything is conversation-granular (the training unit): a duplicate
+  * CONVERSATION is dropped whole, a conversation never straddles splits,
+  * and packing bins whole conversations by their summed token count.
+  *
+  * Scale shape: one groupBy(conv_id) builds (fingerprint, n_tokens) — the
+  * fingerprint is a sum of per-turn xxhash64(turn_idx, text) values, pure
+  * codegen, order-independent-safe because turn_idx is hashed in; dedup
+  * is a groupBy(fingerprint) min-winner + semi join on ids (never text);
+  * split/packing add zero and one exchange respectively. Nothing in the
+  * job touches turn text after the first aggregation.
+  */
+object TrainingDataJob {
+
+  final case class Result(
+      convsIn: Long,
+      convsKept: Long,
+      splitConvs: Map[String, Long],
+      bins: Long,
+      fillRatio: Double)
+
+  /** Conversation summaries: (conv_id, fp, n_tokens). */
+  private[pipeline] def convSummaries(kept: DataFrame,
+      textCol: String): DataFrame =
+    kept.groupBy("conv_id")
+      .agg(
+        // per-turn hashes bounded into 2^40 before summing: ANSI mode
+        // (Spark 4 default) faults on long overflow, and 2^40-bounded
+        // terms keep any conversation under 2^23 turns overflow-free
+        sum(pmod(xxhash64(col("turn_idx"), col(textCol)), lit(1L << 40)))
+          .as("fp"),
+        sum(size(split(col(textCol), "\\s+"))).cast("int").as("n_tokens"))
+
+  /** Run over a kept-turns DataFrame (conv_id, turn_idx, <textCol>, ...).
+    * Returns the per-conversation assignment table
+    * (conv_id, split, seq_id, n_tokens, oversize) — seq ids are unique
+    * WITHIN a split, so (split, seq_id) is the sequence key — plus
+    * summary stats.
+    */
+  def assign(spark: SparkSession, kept: DataFrame,
+      maxTokens: Int = 2048,
+      valPermille: Int = 10, testPermille: Int = 10,
+      textCol: String = "scrubbed_text",
+      packPartitions: Int = 0): (DataFrame, Result) = {
+    val convs = convSummaries(kept, textCol).cache()
+    try {
+      val convsIn = convs.count()
+      // conversation-level exact dedup: min conv_id wins per fingerprint
+      val winners = convs.groupBy("fp").agg(min("conv_id").as("conv_id"))
+      val unique = convs.join(winners, Seq("fp", "conv_id"), "left_semi")
+      val split = Sampling.assignSplit(unique, "conv_id",
+        valPermille, testPermille)
+      // pack per split so sequences never mix train and eval data
+      val packedPerSplit = Seq("train", "val", "test").map { s =>
+        val part = split.filter(col("split") === s)
+          .select(xxhash64(col("conv_id")).as("doc_id"), col("n_tokens"),
+            col("conv_id"), col("split"))
+        val packed = Packing.packSequences(
+          part.select("doc_id", "n_tokens"), maxTokens, packPartitions)
+          .toDF().withColumnRenamed("n_tokens", "n_tokens_packed")
+        part.join(packed, Seq("doc_id"))
+          .select(col("conv_id"), col("split"), col("seq_id"),
+            col("n_tokens"), col("oversize"))
+      }
+      val assigned = packedPerSplit.reduce(_ unionByName _).cache()
+      try {
+        val convsKept = assigned.count()
+        val splitCounts = assigned.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val binStats = assigned
+          .groupBy("split", "seq_id")
+          .agg(sum("n_tokens").as("t"), max(col("oversize").cast("int")).as("over"))
+          .agg(count(lit(1)).as("bins"),
+            (sum(when(col("over") === 0, col("t")).otherwise(0)) /
+              (sum(when(col("over") === 0, 1).otherwise(0)) * maxTokens.toLong))
+              .as("fill"))
+          .head()
+        (assigned,
+          Result(convsIn, convsKept, splitCounts,
+            binStats.getAs[Long]("bins"),
+            Option(binStats.getAs[java.lang.Double]("fill"))
+              .map(_.doubleValue()).getOrElse(0.0)))
+      } finally assigned.unpersist()
+    } finally convs.unpersist()
+  }
+}
