@@ -64,13 +64,18 @@ object Dedup {
     docs.select(col("doc_id"), explode(bandKeysUdf(col("text"))).as("band_key"))
 
   /** SimHash chunk keys: (doc_id, band_key), 4 rows per doc — 16-bit chunks
-    * offset into disjoint key spaces per chunk index.
+    * offset into disjoint key spaces per chunk index. The simhash is
+    * materialized ONCE in its own projection before the chunk expressions:
+    * inlining the UDF into the 4 generator arms would re-tokenize and
+    * re-hash the full text 4× per row (no common-subexpression elimination
+    * reaches inside a generator's input).
     */
   private def simhashKeys(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array((0 until 4).map(c =>
-        (shiftrightunsigned(simhashUdf(col("text")), c * 16) % 65536) +
-          lit(c.toLong * 65536)): _*)).as("band_key"))
+    docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(c =>
+          (shiftrightunsigned(col("sim"), c * 16) % 65536) +
+            lit(c.toLong * 65536)): _*)).as("band_key"))
 
   /** MinHash-LSH candidate pairs. Input: (doc_id: long, text: string). */
   def minhashCandidates(docs: DataFrame): DataFrame =

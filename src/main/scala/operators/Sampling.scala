@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
 object Sampling {
   final val Buckets = 10000
 
-  /** The stable bucket in [0, Buckets) for a key column. */
-  def hashBucket(key: Column): Column =
-    pmod(xxhash64(key), lit(Buckets.toLong))
+  /** The stable bucket in [0, Buckets) for a key column under a purpose
+    * salt. The salt matters: if split/sample/remix all bucketed on the
+    * bare key hash, their selections would be perfectly CORRELATED — a
+    * "10% sample" would be bit-for-bit the test split, and a downsampled
+    * domain would survive only inside test/val. Salting makes each
+    * selector an independent slice of the key space.
+    */
+  def hashBucket(key: Column, purpose: String): Column =
+    pmod(xxhash64(lit(purpose), key), lit(Buckets.toLong))
 
   /** Add a `split` column: 'test' gets `testPermille`/1000 of key-groups,
     * 'val' the next `valPermille`/1000, 'train' the rest.
@@ -28,7 +34,7 @@ object Sampling {
     require(valPermille >= 0 && testPermille >= 0
       && valPermille + testPermille <= 1000,
       s"permilles out of range: val=$valPermille test=$testPermille")
-    val b = hashBucket(col(keyCol))
+    val b = hashBucket(col(keyCol), "split")
     df.withColumn("split",
       when(b < testPermille * (Buckets / 1000), "test")
         .when(b < (testPermille + valPermille) * (Buckets / 1000), "val")
@@ -42,7 +48,7 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String,
       permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000, s"bad permille $permille")
-    df.filter(hashBucket(col(keyCol)) < permille * (Buckets / 1000))
+    df.filter(hashBucket(col(keyCol), "sample") < permille * (Buckets / 1000))
   }
 
   /** Deterministic data mixing: re-weight domains/sources to target rates
@@ -66,7 +72,7 @@ object Sampling {
     import spark.implicits._
     val rateDf = broadcast(
       rates.toSeq.toDF(groupCol, "_rate"))
-    val b = hashBucket(col(keyCol))
+    val b = hashBucket(col(keyCol), "remix")
     df.join(rateDf, Seq(groupCol), "left")
       .withColumn("_rate", coalesce(col("_rate"), lit(1.0)))
       // whole copies: floor(rate); one extra copy for the stable bucket

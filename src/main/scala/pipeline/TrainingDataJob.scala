@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * CONVERSATION is dropped whole, a conversation never straddles splits,
   * and packing bins whole conversations by their summed token count.
   *
-  * Scale shape: one groupBy(conv_id) builds (fingerprint, n_tokens) — the
-  * fingerprint is a sum of per-turn xxhash64(turn_idx, text) values, pure
-  * codegen, order-independent-safe because turn_idx is hashed in; dedup
-  * is a groupBy(fingerprint) min-winner + semi join on ids (never text);
+  * Scale shape: one groupBy(conv_id) builds (fingerprint pair, n_tokens)
+  * — each fingerprint is a sum of independently-seeded per-turn
+  * xxhash64(seed, turn_idx, text) values, pure codegen,
+  * order-independent-safe because turn_idx is hashed in; dedup is a
+  * groupBy(fingerprint pair) min-winner + semi join on ids (never text);
   * split/packing add zero and one exchange respectively. Nothing in the
   * job touches turn text after the first aggregation.
   */
@@ -29,16 +30,23 @@ object TrainingDataJob {
       bins: Long,
       fillRatio: Double)
 
-  /** Conversation summaries: (conv_id, fp, n_tokens). */
+  /** Conversation summaries: (conv_id, fp, fp2, n_tokens). The
+    * fingerprint is TWO independently-seeded sums of per-turn hashes,
+    * each bounded into 2^40 before summing (ANSI mode faults on long
+    * overflow; 2^40-bounded terms keep any conversation under 2^23 turns
+    * overflow-free). One 40-bit sum alone would birthday-collide around
+    * ~1.5M conversations and silently drop a distinct conversation; the
+    * (fp, fp2) pair is ~80 bits — collision odds ~n²/2^81, negligible
+    * through 10^9+ conversations.
+    */
   private[pipeline] def convSummaries(kept: DataFrame,
       textCol: String): DataFrame =
     kept.groupBy("conv_id")
       .agg(
-        // per-turn hashes bounded into 2^40 before summing: ANSI mode
-        // (Spark 4 default) faults on long overflow, and 2^40-bounded
-        // terms keep any conversation under 2^23 turns overflow-free
-        sum(pmod(xxhash64(col("turn_idx"), col(textCol)), lit(1L << 40)))
+        sum(pmod(xxhash64(lit(1), col("turn_idx"), col(textCol)), lit(1L << 40)))
           .as("fp"),
+        sum(pmod(xxhash64(lit(2), col("turn_idx"), col(textCol)), lit(1L << 40)))
+          .as("fp2"),
         sum(size(split(col(textCol), "\\s+"))).cast("int").as("n_tokens"))
 
   /** Run over a kept-turns DataFrame (conv_id, turn_idx, <textCol>, ...).
@@ -56,8 +64,8 @@ object TrainingDataJob {
     try {
       val convsIn = convs.count()
       // conversation-level exact dedup: min conv_id wins per fingerprint
-      val winners = convs.groupBy("fp").agg(min("conv_id").as("conv_id"))
-      val unique = convs.join(winners, Seq("fp", "conv_id"), "left_semi")
+      val winners = convs.groupBy("fp", "fp2").agg(min("conv_id").as("conv_id"))
+      val unique = convs.join(winners, Seq("fp", "fp2", "conv_id"), "left_semi")
       val split = Sampling.assignSplit(unique, "conv_id",
         valPermille, testPermille)
       // pack per split so sequences never mix train and eval data

@@ -131,6 +131,21 @@ class PackingSpec extends AnyFunSuite {
     } finally tiny.unpersist()
   }
 
+  test("selectors are independent: the 10% sample is NOT the test split") {
+    val docsT = spark.read.parquet(s"$sf/documents.parquet")
+    val sampleIds = Sampling.deterministicSample(docsT, "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val testIds = Sampling.assignSplit(docsT, "doc_id", 100, 100)
+      .filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // unsalted buckets would make these bit-for-bit identical (training on
+    // the sample = training on test data); independent ~10% slices overlap
+    // only by chance
+    assert(sampleIds != testIds)
+    assert((sampleIds intersect testIds).size < math.max(sampleIds.size, 1) / 2,
+      s"sample/test overlap too high: ${(sampleIds intersect testIds).size}")
+  }
+
   test("deterministic sample is a stable subset matching its bucket rule") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val s1 = Sampling.deterministicSample(events, "user_id", 100)

@@ -22,6 +22,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     def fmt(v: Any): String = v match {
       case d: Double => f"$d%.4f"
       case f: Float => f"$f%.4f"
+      case b: Boolean => if (b) "true" else "false"
+      case null => "null"
       case other => String.valueOf(other)
     }
     val golden = spark.read.json("fixtures/golden_queries.json")

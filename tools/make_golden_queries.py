@@ -22,6 +22,12 @@ QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
            "q_lsh_buckets"]
 
 def fmt(v):
+    # bool check must precede everything (bool is an int subclass); the
+    # Scala side (QueriesSmokeSpec.fmt) emits 'true'/'false'/'null'
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
     if isinstance(v, float):
         return f"{v:.4f}"
     return str(v)

@@ -79,10 +79,16 @@ if [ "${MODE:-strong}" = weak ]; then
   # shard 0 ran with cwd=/tmp — where the (then-relative) classpath did
   # not resolve ⇒ instant ClassNotFoundException. That asymmetry is why
   # round-2 weak runs lost exactly the cpuset-0-3 executor, twice.
-  ( run_shard "$(cpuset 0)" 0 1 /tmp/weak_0.json weak 4 & \
-    run_shard "$(cpuset 1)" 0 1 /tmp/weak_1.json weak 4 & \
-    run_shard "$(cpuset 2)" 0 1 /tmp/weak_2.json weak 4 & \
-    run_shard "$(cpuset 3)" 0 1 /tmp/weak_3.json weak 4 & wait )
+  # per-pid wait: a bare `wait` always returns 0, which would let a dead
+  # shard slide through to a confusing python crash (or worse, a silent
+  # pass if its JSON line was already flushed) — reap each pid and fail
+  run_shard "$(cpuset 0)" 0 1 /tmp/weak_0.json weak 4 & W0=$!
+  run_shard "$(cpuset 1)" 0 1 /tmp/weak_1.json weak 4 & W1=$!
+  run_shard "$(cpuset 2)" 0 1 /tmp/weak_2.json weak 4 & W2=$!
+  run_shard "$(cpuset 3)" 0 1 /tmp/weak_3.json weak 4 & W3=$!
+  WRC=0
+  for p in $W0 $W1 $W2 $W3; do wait "$p" || WRC=1; done
+  [ "$WRC" = 0 ] || { echo "## WEAK RUN FAILED: a shard died" >&2; exit 1; }
   cat /tmp/weak_*.json
   python3 - <<'EOF'
 import json
@@ -103,11 +109,13 @@ run_shard "$(cpuset 0)" 0 1 /tmp/scale_n.json
 cat /tmp/scale_n.json
 
 echo "# 4N: 4 executors ($EC cores each), disjoint quarters, concurrent" >&2
-run_shard "$(cpuset 0)" 0 4 /tmp/scale_4n_0.json strong 4 &
-run_shard "$(cpuset 1)" 1 4 /tmp/scale_4n_1.json strong 4 &
-run_shard "$(cpuset 2)" 2 4 /tmp/scale_4n_2.json strong 4 &
-run_shard "$(cpuset 3)" 3 4 /tmp/scale_4n_3.json strong 4 &
-wait
+run_shard "$(cpuset 0)" 0 4 /tmp/scale_4n_0.json strong 4 & S0=$!
+run_shard "$(cpuset 1)" 1 4 /tmp/scale_4n_1.json strong 4 & S1=$!
+run_shard "$(cpuset 2)" 2 4 /tmp/scale_4n_2.json strong 4 & S2=$!
+run_shard "$(cpuset 3)" 3 4 /tmp/scale_4n_3.json strong 4 & S3=$!
+SRC=0
+for p in $S0 $S1 $S2 $S3; do wait "$p" || SRC=1; done
+[ "$SRC" = 0 ] || { echo "## STRONG RUN FAILED: a shard died" >&2; exit 1; }
 cat /tmp/scale_4n_*.json
 
 python3 - <<'EOF'
