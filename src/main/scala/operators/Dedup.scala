@@ -125,49 +125,99 @@ object Dedup {
     * state of incremental dedup. One scan of one hashed column; the
     * returned filter is ~1.2 bytes/key at fpp=0.01 (1.2 GB for 10⁹ docs),
     * built distributed by Spark's bloomFilter aggregate and mergeable
-    * across runs via `BloomFilter.mergeInPlace`. In production this is
-    * built ONCE, persisted, and updated per batch — history is not
-    * rescanned per incoming batch.
+    * across runs via `mergeBlooms` / persisted via `writeBloom`+`readBloom`
+    * (see `incrementalNewWithBloom` for the amortized per-batch flow).
     */
   def historyBloom(history: DataFrame, expectedItems: Long,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    try history.select(xxhash64(col("text")).as("h"))
+    // Spark's bloomFilter aggregate yields null bytes over ZERO input rows
+    // and readFrom NPEs on them; an empty history is a legitimate first
+    // run — test for it explicitly (isEmpty = a limit-1 probe, cheap)
+    // rather than catching the NPE, so a genuine aggregation failure still
+    // surfaces instead of masquerading as an empty filter
+    if (history.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    else history.select(xxhash64(col("text")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
-    catch {
-      // Spark's bloomFilter aggregate yields null bytes over ZERO input
-      // rows and readFrom NPEs on them; an empty history is a legitimate
-      // first run — return an empty filter (claims nothing)
-      case _: NullPointerException =>
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-    }
+
+  /** Persist a bloom to `path` via temp file + atomic rename — the carried
+    * cross-batch state of incremental dedup, so history is never rescanned
+    * just to rebuild the filter.
+    */
+  def writeBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try bloom.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readBloom(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Merge `b` into `a` (both must share expectedItems/fpp — Spark blooms
+    * are only compatible at identical bit size and hash count). Returns the
+    * mutated `a` for chaining: the per-batch update is
+    * `writeBloom(mergeBlooms(readBloom(p), historyBloom(batch, n)), p)`.
+    */
+  def mergeBlooms(a: org.apache.spark.util.sketch.BloomFilter,
+      b: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.util.sketch.BloomFilter = {
+    a.mergeInPlace(b)
+    a
+  }
 
   /** Incremental (cross-batch) exact dedup: the rows of `incoming` whose
     * text does not appear in `history` — the production shape of dedup at
     * corpus scale, where today's batch must be checked against 100 TB of
-    * history WITHOUT an all-vs-all join.
-    *
-    * Plan shape: the broadcast bloom prunes the incoming side first — only
-    * rows the bloom claims are seen (true duplicates + an fpp-bounded
-    * sliver of new rows) reach the confirming left-anti join, so the
-    * shuffled incoming side shrinks from |incoming| to
-    * ~|dups| + fpp·|new|. The confirm join keeps the result EXACT: bloom
-    * false positives are rescued, so the output equals a plain anti-join
-    * on text (asserted in OperatorsSpec and against the DuckDB oracle).
-    * The history side of the confirm join scans only the pruned text
-    * column; with persisted blooms (see `historyBloom`) even that scan is
-    * amortized across batches.
+    * history WITHOUT an all-vs-all join. Builds the history bloom inline;
+    * the amortized path is `incrementalNewWithBloom` with a persisted
+    * filter (`writeBloom`/`readBloom`/`mergeBlooms`), which skips the
+    * bloom-build scan entirely.
     */
   def incrementalNew(history: DataFrame, incoming: DataFrame,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    incrementalNewWithBloom(historyBloom(history, expectedItems, fpp),
+      history, incoming)
+
+  /** Exact incremental dedup given an already-built history bloom (the
+    * persisted cross-batch state — history is NOT scanned to build it).
+    *
+    * Plan shape, and why no shuffle ever carries history's text column:
+    * 1. the broadcast bloom prunes `incoming` — only rows the bloom claims
+    *    (true dups + an fpp-bounded sliver of new rows) become suspects;
+    * 2. history is pruned to the suspect hash set by a broadcast LEFT SEMI
+    *    join keyed on `xxhash64(text)` — the broadcast side is the 8-byte
+    *    suspect hashes (bounded by the batch's dup count), so the 100 TB
+    *    history side streams through its scan with ZERO exchange;
+    * 3. the confirming anti-join then exact-compares text only within that
+    *    hash-matched sliver (≈ batch-dup-sized on both sides), rescuing
+    *    both bloom false positives and 64-bit hash collisions.
+    * The result is EXACT: it equals a plain anti-join on text (asserted in
+    * OperatorsSpec and against the DuckDB NOT EXISTS oracle); the only
+    * data volumes that move are batch-proportional, never history-
+    * proportional.
+    */
+  def incrementalNewWithBloom(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      history: DataFrame, incoming: DataFrame): DataFrame = {
     val spark = incoming.sparkSession
-    val bloomBc =
-      spark.sparkContext.broadcast(historyBloom(history, expectedItems, fpp))
+    val bloomBc = spark.sparkContext.broadcast(bloom)
     val seen = udf((h: Long) => bloomBc.value.mightContainLong(h))
     val keyed = incoming.withColumn("_h", xxhash64(col("text")))
     val sureNew = keyed.filter(!seen(col("_h")))
     val suspects = keyed.filter(seen(col("_h")))
-      .join(history.select("text"), Seq("text"), "left_anti")
-    sureNew.unionByName(suspects).drop("_h")
+    val suspectHashes = suspects.select("_h").distinct()
+    val histCand = history
+      .select(xxhash64(col("text")).as("_h"), col("text"))
+      .join(broadcast(suspectHashes), Seq("_h"), "left_semi")
+    val confirmed = suspects.join(histCand, Seq("_h", "text"), "left_anti")
+    sureNew.unionByName(confirmed).drop("_h")
   }
 
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)

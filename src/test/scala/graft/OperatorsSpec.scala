@@ -98,6 +98,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.incrementalNew(all, none, expectedItems = 10000).count() == 0)
   }
 
+  test("incremental dedup: history is semi-pruned on the hash before any shuffle touches its text") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val history = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+      val incoming = history
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val out = Dedup.incrementalNew(history, incoming, expectedItems = 10000)
+      val plan = out.queryExecution.executedPlan
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"no broadcast LEFT SEMI prune in plan:\n$plan")
+      val semi = semis.head
+      // the streamed (history) side must reach its parquet scan with ZERO
+      // exchange below the prune — the scale invariant: the 100 TB side
+      // never shuffles, only the hash-matched sliver after the semi does
+      val shufflesBelow = semi.left.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shufflesBelow.isEmpty,
+        s"history side shuffles before the semi prune:\n${semi.left}")
+      // and the prune keys on the 8-byte hash, never the text column
+      assert(semi.leftKeys.forall(k => !k.toString.contains("text")),
+        s"semi prune keyed on text: ${semi.leftKeys}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("bloom persistence: write/read round-trip and cross-batch merge") {
+    val all = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val batch1 = all.filter(col("doc_id") % 2 === 0)
+    val batch2 = all.filter(col("doc_id") % 2 === 1)
+    def hashes(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val path = s"$dir/history.bloom"
+    val b1 = Dedup.historyBloom(batch1, expectedItems = 10000)
+    Dedup.writeBloom(b1, path)
+    val r1 = Dedup.readBloom(path)
+    assert(hashes(batch1).forall(r1.mightContainLong),
+      "round-tripped bloom lost batch-1 keys")
+    // merge batch 2 into the persisted state and round-trip again
+    Dedup.writeBloom(
+      Dedup.mergeBlooms(r1, Dedup.historyBloom(batch2, expectedItems = 10000)),
+      path)
+    val merged = Dedup.readBloom(path)
+    assert(hashes(batch1).forall(merged.mightContainLong)
+      && hashes(batch2).forall(merged.mightContainLong),
+      "merged bloom lost keys from one batch")
+  }
+
+  test("incremental dedup two-batch flow: persisted bloom replaces the history bloom scan") {
+    val all = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom2").toString
+    val path = s"$dir/history.bloom"
+    // batch 1 lands on an empty corpus: everything is new; its bloom is
+    // persisted as the carried state
+    val batch1 = all.filter(col("doc_id") < 300)
+    Dedup.writeBloom(Dedup.historyBloom(batch1, expectedItems = 10000), path)
+    // batch 2 = re-crawls of batch 1 + genuinely new rows; the check runs
+    // off the PERSISTED bloom — no bloom-build scan of history
+    val batch2 = batch1.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      .unionByName(all.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    val got = Dedup.incrementalNewWithBloom(Dedup.readBloom(path), batch1, batch2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = batch2.join(batch1.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty && got.forall(_ >= 800000L), "only the fresh docs are new")
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
