@@ -473,8 +473,11 @@ object SparkEntry {
     // sequence packing + deterministic split: hash/partition-layout
     // dependent (rows-only driver check; gated by PackingSpec)
     "q_packing" -> ((s, dir) => {
+      // coalesce: a null text must surface as 0 tokens here, not as a null
+      // count (packSequences rejects null/negative counts with a typed
+      // error — correct for a data bug, wrong for this demo's null policy)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        size(split(col("text"), "\\s+")).as("n_tokens"))
+        size(split(coalesce(col("text"), lit("")), "\\s+")).as("n_tokens"))
       operators.Packing.packingStats(
         operators.Packing.packSequences(docs, maxTokens = 256, numPartitions = 8),
         maxTokens = 256)

@@ -68,17 +68,18 @@ object TrainingDataJob {
       val unique = convs.join(winners, Seq("fp", "fp2", "conv_id"), "left_semi")
       val split = Sampling.assignSplit(unique, "conv_id",
         valPermille, testPermille)
-      // pack per split so sequences never mix train and eval data
+      // pack per split so sequences never mix train and eval data; packing
+      // keys on the conv_id string itself (packSequencesByKey), so the
+      // group identity rides through the bin assignment verbatim — the
+      // earlier xxhash64(conv_id) surrogate join could birthday-collide
+      // two conversations in a split and assign both twice
       val packedPerSplit = Seq("train", "val", "test").map { s =>
-        val part = split.filter(col("split") === s)
-          .select(xxhash64(col("conv_id")).as("doc_id"), col("n_tokens"),
-            col("conv_id"), col("split"))
-        val packed = Packing.packSequences(
-          part.select("doc_id", "n_tokens"), maxTokens, packPartitions)
-          .toDF().withColumnRenamed("n_tokens", "n_tokens_packed")
-        part.join(packed, Seq("doc_id"))
-          .select(col("conv_id"), col("split"), col("seq_id"),
-            col("n_tokens"), col("oversize"))
+        Packing.packSequencesByKey(
+          split.filter(col("split") === s).select("conv_id", "n_tokens"),
+          "conv_id", maxTokens, packPartitions)
+          .toDF()
+          .select(col("key").as("conv_id"), lit(s).as("split"),
+            col("seq_id"), col("n_tokens"), col("oversize"))
       }
       val assigned = packedPerSplit.reduce(_ unionByName _).cache()
       try {
@@ -89,8 +90,10 @@ object TrainingDataJob {
           .groupBy("split", "seq_id")
           .agg(sum("n_tokens").as("t"), max(col("oversize").cast("int")).as("over"))
           .agg(count(lit(1)).as("bins"),
-            (sum(when(col("over") === 0, col("t")).otherwise(0)) /
-              (sum(when(col("over") === 0, 1).otherwise(0)) * maxTokens.toLong))
+            // try_divide: all-oversize ⇒ zero non-oversize bins, and ANSI
+            // mode faults a plain division instead of nulling it
+            try_divide(sum(when(col("over") === 0, col("t")).otherwise(0)),
+              sum(when(col("over") === 0, 1).otherwise(0)) * maxTokens.toLong)
               .as("fill"))
           .head()
         (assigned,

@@ -131,6 +131,51 @@ class PackingSpec extends AnyFunSuite {
     } finally tiny.unpersist()
   }
 
+  test("keyed packing: exactly-once on the string key, capacity held, deterministic") {
+    val keyed = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("conv-"), col("doc_id")).as("cid"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+    val packed = Packing.packSequencesByKey(keyed, "cid", 256, numPartitions = 8)
+      .cache()
+    try {
+      val in = keyed.select("cid").collect().map(_.getString(0)).sorted
+      val out = packed.collect().map(_.key).sorted
+      assert(out.sameElements(in), "every key assigned exactly once")
+      val overfull = packed.toDF().groupBy("seq_id")
+        .agg(sum("n_tokens").as("t"), max(col("oversize").cast("int")).as("over"))
+        .filter(col("over") === 0 && col("t") > 256).count()
+      assert(overfull == 0)
+      val again = Packing.packSequencesByKey(keyed, "cid", 256, numPartitions = 8)
+        .collect().map(p => (p.key, p.seq_id)).sorted
+      assert(packed.collect().map(p => (p.key, p.seq_id)).sorted.sameElements(again))
+    } finally packed.unpersist()
+  }
+
+  test("null or negative n_tokens fails with a typed error naming the key") {
+    import spark.implicits._
+    val bad = Seq((1L, 10), (2L, -3)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packSequences(bad, 256, numPartitions = 2).collect()
+    }
+    assert(e.getMessage.contains("n_tokens"), s"untyped failure: ${e.getMessage}")
+    val withNull = Seq((1L, Some(10)), (2L, None))
+      .toDF("doc_id", "n_tokens")
+    val e2 = intercept[Exception] {
+      Packing.packSequences(withNull, 256, numPartitions = 2).collect()
+    }
+    assert(e2.getMessage.contains("n_tokens"), s"untyped failure: ${e2.getMessage}")
+  }
+
+  test("packingStats stays fully typed when every bin is oversize") {
+    import spark.implicits._
+    val docs = Seq((1L, 50), (2L, 60)).toDF("doc_id", "n_tokens")
+    val stats = Packing.packingStats(
+      Packing.packSequences(docs, maxTokens = 10, numPartitions = 2), 10).head()
+    assert(stats.getAs[Long]("n_oversize_bins") == 2L)
+    assert(stats.getAs[Double]("fill_ratio") == 0.0, "null fill_ratio leaked")
+    assert(stats.getAs[Long]("max_bin_tokens") == 0L, "null max_bin_tokens leaked")
+  }
+
   test("selectors are independent: the 10% sample is NOT the test split") {
     val docsT = spark.read.parquet(s"$sf/documents.parquet")
     val sampleIds = Sampling.deterministicSample(docsT, "doc_id", 100)
