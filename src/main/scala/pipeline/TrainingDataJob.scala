@@ -1,7 +1,7 @@
 package pipeline
 
 import operators.{Packing, Sampling}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The downstream half of the training-data pipeline: what a corpus
@@ -103,5 +103,67 @@ object TrainingDataJob {
               .map(_.doubleValue()).getOrElse(0.0)))
       } finally assigned.unpersist()
     } finally convs.unpersist()
+  }
+
+  final case class RunResult(
+      runId: String,
+      processedSplits: Seq[String],
+      skippedSplits: Seq[String],
+      result: Option[Result])
+
+  private val SplitIds = Seq("train" -> 0, "val" -> 1, "test" -> 2)
+
+  /** Materialize the model-ready packed-sequence table — the last meter of
+    * the training-data pipeline: `assign`'s output aggregated to one row
+    * per sequence (split, seq_id, sorted member conv_ids, conv/token
+    * counts, oversize flag), written split-partitioned under the same
+    * manifest / idempotence protocol as QualityFilterJob:
+    *
+    * - dynamic partition overwrite ⇒ re-running a split replaces exactly
+    *   that split's files; committed splits are never rewritten;
+    * - the manifest (temp-file + atomic rename) records committed splits
+    *   under (inputSnapshot, configSha) — a changed input or rule config
+    *   invalidates the commit and recomputes everything;
+    * - a fully-committed rerun is a no-op that touches NO files (and skips
+    *   the assignment computation entirely — `result` comes back None);
+    * - assignment is deterministic (pinned packPartitions), so a resumed
+    *   split's rows are identical to what a single clean run would have
+    *   written — asserted in TrainingDataJobSpec.
+    */
+  def run(spark: SparkSession, kept: DataFrame, outDir: String, runId: String,
+      maxTokens: Int = 2048,
+      valPermille: Int = 10, testPermille: Int = 10,
+      textCol: String = "scrubbed_text",
+      packPartitions: Int = 32,
+      inputSnapshot: String = "synth@seed42",
+      configSha: String = "trainspec-v1"): RunResult = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val committed: Set[Int] = Manifest.read(outDir) match {
+      case Some(m) if m.inputSnapshot == inputSnapshot && m.configSha == configSha =>
+        m.committed
+      case _ => Set.empty
+    }
+    val skipped = SplitIds.collect { case (s, i) if committed(i) => s }
+    val pending = SplitIds.filterNot { case (_, i) => committed(i) }
+    if (pending.isEmpty) return RunResult(runId, Nil, skipped, None)
+
+    val (assigned0, res) = assign(spark, kept, maxTokens,
+      valPermille, testPermille, textCol, packPartitions)
+    val assigned = assigned0.cache()
+    try {
+      assigned
+        .filter(col("split").isin(pending.map(_._1): _*))
+        .groupBy("split", "seq_id")
+        .agg(
+          sort_array(collect_list(col("conv_id"))).as("conv_ids"),
+          count(lit(1)).as("n_convs"),
+          sum("n_tokens").as("n_tokens"),
+          (max(col("oversize").cast("int")) === 1).as("oversize"))
+        .write.mode(SaveMode.Overwrite).partitionBy("split")
+        .parquet(s"$outDir/sequences")
+    } finally assigned.unpersist()
+    Manifest.write(outDir, Manifest(runId, inputSnapshot, configSha,
+      committed ++ pending.map(_._2)))
+    RunResult(runId, pending.map(_._1), skipped, Some(res))
   }
 }

@@ -4,6 +4,7 @@ import guards.QualityPipeline
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import pipeline.{SynthStore, TrainingDataJob}
+import scala.jdk.CollectionConverters._
 
 /** End-to-end composition: quality-filtered turns → conversation-level
   * dedup → group-coherent splits → sequence packing.
@@ -52,5 +53,59 @@ class TrainingDataJobSpec extends AnyFunSuite {
       .select("conv_id", "split", "seq_id").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
     assert(once().sameElements(once()))
+  }
+
+  test("materialized sequences: manifest commit, no-op rerun, resume equals a clean run") {
+    val dir = java.nio.file.Files.createTempDirectory("tdj-run").toString
+    val base = kept.cache()
+    def readSeqs = spark.read.parquet(s"$dir/sequences")
+      .collect().map(r => (r.getAs[String]("split"), r.getAs[Long]("seq_id"),
+        r.getAs[Seq[String]]("conv_ids").mkString(","),
+        r.getAs[Long]("n_convs"), r.getAs[Long]("n_tokens"))).sorted
+    def listing = {
+      val root = java.nio.file.Paths.get(dir, "sequences")
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toVector.sorted
+      finally s.close()
+    }
+    try {
+      val r1 = TrainingDataJob.run(spark, base, dir, "run1",
+        maxTokens = 512, packPartitions = 4)
+      assert(r1.processedSplits == Seq("train", "val", "test")
+        && r1.result.nonEmpty)
+      val first = readSeqs
+      val files1 = listing
+      assert(first.nonEmpty && files1.nonEmpty)
+      // sequences partition the assigned conversations exactly once
+      val convCount = first.map(_._4).sum
+      assert(convCount == r1.result.get.convsKept)
+
+      // fully-committed rerun: a no-op — no splits processed, no files
+      // touched, no assignment computed
+      val r2 = TrainingDataJob.run(spark, base, dir, "run2",
+        maxTokens = 512, packPartitions = 4)
+      assert(r2.processedSplits.isEmpty && r2.result.isEmpty
+        && r2.skippedSplits == Seq("train", "val", "test"))
+      assert(listing == files1, "no-op rerun rewrote files")
+
+      // simulated partial failure: manifest lost the val commit; resume
+      // reprocesses ONLY val and the table equals the clean run's
+      pipeline.Manifest.write(dir,
+        pipeline.Manifest("run1", "synth@seed42", "trainspec-v1", Set(0, 2)))
+      val r3 = TrainingDataJob.run(spark, base, dir, "run3",
+        maxTokens = 512, packPartitions = 4)
+      assert(r3.processedSplits == Seq("val")
+        && r3.skippedSplits == Seq("train", "test"))
+      assert(readSeqs.sameElements(first), "resumed val diverged from clean run")
+
+      // a changed config sha invalidates the whole commit
+      val r4 = TrainingDataJob.run(spark, base, dir, "run4",
+        maxTokens = 512, packPartitions = 4, configSha = "trainspec-v2")
+      assert(r4.processedSplits == Seq("train", "val", "test"))
+      assert(readSeqs.sameElements(first))
+    } finally base.unpersist()
   }
 }
