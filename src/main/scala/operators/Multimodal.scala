@@ -3,6 +3,7 @@ package operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import core.Murmur3
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -25,9 +26,12 @@ object Multimodal {
   final val FeatureDim = 8
   final val BatchSize = 64
 
-  // ImageIO defaults to a disk-backed stream cache; images here are small
-  // in-memory byte arrays, so a temp file per decode would be pure overhead
-  ImageIO.setUseCache(false)
+  // ImageIO defaults to a disk-backed stream cache — a temp file per
+  // decode, pure overhead for small in-memory byte arrays. Rather than
+  // flipping the JVM-GLOBAL ImageIO.setUseCache flag (a side effect every
+  // other library in the process would inherit), each call below builds
+  // its own MemoryCacheImage{In,Out}putStream, scoping the choice to
+  // exactly this operator.
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
       format: String, width: Int, height: Int)
@@ -56,7 +60,8 @@ object Multimodal {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val ios = new MemoryCacheImageOutputStream(out)
+    try ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 
@@ -80,9 +85,14 @@ object Multimodal {
           col("_w").as("width"),
           col("_h").as("height")).as("meta"))
 
-  private[operators] def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+  private[operators] def decodeImage(payload: Array[Byte]): Option[BufferedImage] = {
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+    try Option(ImageIO.read(iis))
     catch { case _: Exception => None }
+    // ImageIO.read closes the stream on success; the extra close only
+    // matters on the no-reader/exception paths — swallow the double-close
+    finally try iis.close() catch { case _: java.io.IOException => () }
+  }
 
   /** Real pixel features, all in [0, 1]:
     * [meanR, meanG, meanB, stddev(luma), meanLuma(q00), (q01), (q10), (q11)]

@@ -110,12 +110,22 @@ object Similarity {
     }.toArray
   }
 
-  /** IVF ANN: assign corpus to centroid buckets, probe nProbe buckets per
-    * query, exact cosine within the probed subset.
+  /** A built IVF index: the centroid table plus the corpus with its
+    * assigned centroid id — the expensive one-scan artifact that query
+    * batches share. `assigned` is persisted (memory-and-disk) when built
+    * via `buildIvfIndex(persist = true)`; at production scale it is a
+    * written table partitioned by `cid` (the docstring contract the
+    * build/query split makes real: assignment happens once per corpus
+    * version, not once per query batch).
     */
-  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, c: Int = 16, nProbe: Int = 4,
-      sampleCap: Int = 65536): DataFrame = {
+  final case class IvfIndex(centroids: Array[(Int, Array[Float])],
+      assigned: DataFrame)
+
+  /** Build the IVF index: one corpus scan assigns every vector to its
+    * nearest centroid. Reusable across `queryIvf` batches.
+    */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame, c: Int = 16,
+      sampleCap: Int = 65536, persist: Boolean = true): IvfIndex = {
     val cents = centroids(spark, corpus, c, sampleCap)
     val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((emb: Seq[Float]) => {
@@ -127,23 +137,69 @@ object Similarity {
       }
       best
     })
-    val probeUdf = udf((emb: Seq[Float]) => {
-      val e = emb.toArray
-      bc.value.map { case (cid, cv) => (cid, VecOps.l2sq(cv, e)) }
-        .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
-    })
-    val corpusAssigned = corpus
+    val assigned = corpus
       .withColumn("cid", assignUdf(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("cid"))
+    IvfIndex(cents,
+      if (persist)
+        assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned)
+  }
+
+  /** Query a built index: probe the nProbe nearest centroid buckets per
+    * query, exact cosine within the probed subset. Probe selection is a
+    * bounded partial select — O(C·nProbe) with no allocation-per-centroid
+    * sort, so a production-sized C (4096+) costs a linear scan, not a
+    * C·log C sort per query row. Ties on distance keep the lower centroid
+    * id (identical to the previous full-sort semantics).
+    */
+  def queryIvf(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probeUdf = udf((emb: Seq[Float]) => {
+      val e = emb.toArray
+      val cents = bc.value
+      val n = math.min(nProbe, cents.length)
+      val bestIds = new Array[Int](n)
+      val bestD = new Array[Double](n)
+      var filled = 0
+      var i = 0
+      while (i < cents.length) {
+        val d = VecOps.l2sq(cents(i)._2, e)
+        // strict '<' at the boundary: an equal-distance later centroid
+        // never displaces an earlier (lower-id) one — matches sortBy(d, cid)
+        if (filled < n || d < bestD(n - 1)) {
+          var j = math.min(filled, n - 1)
+          while (j > 0 && bestD(j - 1) > d) {
+            bestD(j) = bestD(j - 1); bestIds(j) = bestIds(j - 1); j -= 1
+          }
+          bestD(j) = d; bestIds(j) = cents(i)._1
+          if (filled < n) filled += 1
+        }
+        i += 1
+      }
+      bestIds.take(filled)
+    })
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       explode(probeUdf(col("embedding"))).as("cid"))
     rankTopK(
-      corpusAssigned.join(broadcast(q), Seq("cid"))
+      index.assigned.join(broadcast(q), Seq("cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), cosUdf(col("q_emb"), col("embedding")).as("cos"),
           col("vec_id")),
       k)
   }
+
+  /** One-shot IVF ANN (build + query, nothing persisted) — the demo/driver
+    * entry point; batch consumers should `buildIvfIndex` once and
+    * `queryIvf` per batch.
+    */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int, c: Int = 16, nProbe: Int = 4,
+      sampleCap: Int = 65536): DataFrame =
+    queryIvf(buildIvfIndex(spark, corpus, c, sampleCap, persist = false),
+      queries, k, nProbe)
 
   /** Deterministic hyperplanes for table `t`, bit `b`. Table 0 reproduces
     * the original single-table planes (seed stream Lcg.mix(1234, b)), so

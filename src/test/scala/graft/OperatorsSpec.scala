@@ -343,6 +343,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall") // approximate by design; measured, not assumed
   }
 
+  test("IVF build/query split: one persisted assignment serves multiple query batches") {
+    val index = Similarity.buildIvfIndex(spark, emb, c = 16)
+    try {
+      assert(index.assigned.storageLevel.useMemory
+        || index.assigned.storageLevel.useDisk,
+        "built index's assignment is not persisted")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      // batch 1 through the shared index equals the one-shot path (same
+      // deterministic centroids, same probe selection)
+      val b1 = rows(Similarity.queryIvf(index, emb.filter(col("vec_id") < 10), 5))
+      val oneShot = rows(Similarity.ivfTopK(spark,
+        emb.filter(col("vec_id") < 10), emb, 5))
+      assert(b1.sameElements(oneShot))
+      // a second, disjoint batch runs against the SAME assignment — no
+      // rebuild, full per-query coverage
+      val b2 = Similarity.queryIvf(index,
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), 5)
+      assert(b2.select("q_id").distinct().count() == 10)
+    } finally index.assigned.unpersist()
+  }
+
   test("sort-based aggregate fallback (#24) produces identical results") {
     // collect_list normally runs in ObjectHashAggregate; disabling it forces
     // the planner's SortAggregate fallback — results must be identical
