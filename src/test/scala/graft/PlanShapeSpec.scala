@@ -1,0 +1,93 @@
+package graft
+
+import guards.QualityPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+import pipeline.SynthStore
+
+/** Physical-plan regression net for the design invariants the engine's
+  * 100 TB story rests on (SURVEY.md §5): exchange counts on the label
+  * paths, parquet predicate pushdown / column pruning, and "no cartesian
+  * product ever sneaks into a non-cross query". These held by inspection
+  * (graft.ExplainAudit); this spec makes a plan regression fail CI.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exchange-count assertions need concrete (non-adaptive) plans; AQE is
+    * re-disabled per block because some query closures call Sessions.tune,
+    * which turns it back on for the shared session.
+    */
+  private def withoutAqe[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(df: DataFrame): Seq[SparkPlan] =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("clustered label path: ZERO exchanges end to end") {
+    withoutAqe {
+      val scored = QualityPipeline.scoreClustered(spark,
+        SynthStore(2000L).read(spark).toDF())
+      val ex = shuffles(QualityPipeline.select(scored))
+      assert(ex.isEmpty,
+        s"clustered path gained ${ex.size} exchange(s):\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("window label path: exactly ONE exchange (the conv_id window hash)") {
+    withoutAqe {
+      val scored = QualityPipeline.score(SynthStore(2000L).read(spark).toDF())
+      val ex = shuffles(QualityPipeline.select(scored))
+      assert(ex.size == 1,
+        s"label path must shuffle exactly once, got ${ex.size}:\n${ex.mkString("\n")}")
+      assert(ex.head.outputPartitioning.toString.contains("conv_id"),
+        s"the single exchange is not the conv_id window hash: ${ex.head}")
+    }
+  }
+
+  test("filtered parquet scans push predicates down to the reader") {
+    // q_join_range filters events on event_type = 'purchase' — that must
+    // reach the parquet scan, not run post-scan
+    val txt = formatted(SparkEntry.queries("q_join_range")(spark, sf))
+    assert(txt.contains("PushedFilters") && txt.contains("EqualTo(event_type,purchase)"),
+      s"event_type filter not pushed:\n$txt")
+  }
+
+  test("projection-only scans prune to the referenced columns") {
+    // q_dedup_first touches only (doc_id, text); a scan that also reads
+    // the other document columns would move ~2x the bytes at corpus scale
+    val txt = formatted(SparkEntry.queries("q_dedup_first")(spark, sf))
+    val readSchemas = txt.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty, s"no ReadSchema in:\n$txt")
+    assert(readSchemas.forall(l => !l.contains("n_chars") && !l.contains("source")),
+      s"documents scan reads unused columns:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("no CartesianProduct outside the explicit cross-join demo") {
+    // sweep EVERY driver-contract query's plan; a cartesian product that
+    // appears anywhere else is a planning regression that would be fatal
+    // at scale. BroadcastNestedLoopJoin is tolerated only where a non-equi
+    // broadcast join is the intended design (brute-force/IVF ANN probe
+    // and the cross-join demo itself).
+    val bnljAllowed = Set("q_join_cross", "q_knn_brute", "q_knn_ivf")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val txt = formatted(fn(spark, sf))
+        val cart = txt.contains("CartesianProduct") && name != "q_join_cross"
+        val bnlj = txt.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (bnlj) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+    }
+    assert(offenders.isEmpty, s"unexpected join plans:\n${offenders.mkString("\n")}")
+  }
+}
