@@ -32,7 +32,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
         r.getAs[String]("row")))
       .groupBy(_._1)
     assert(golden.keySet == Set("q_dedup_fingerprint", "q_dedup_simhash",
-      "q_dedup_embedding", "q_lsh_buckets"))
+      "q_dedup_embedding", "q_lsh_buckets", "q_dedup_minhash"))
     golden.toSeq.sortBy(_._1).foreach { case (name, rows) =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert(df.columns.mkString(",") == rows.head._2,

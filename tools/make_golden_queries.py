@@ -19,7 +19,7 @@ import sys
 import duckdb
 
 QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
-           "q_lsh_buckets"]
+           "q_lsh_buckets", "q_dedup_minhash"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
