@@ -144,6 +144,29 @@ object Packing {
       })
   }
 
+  /** The chunking policy the `oversize` flag otherwise defers to callers:
+    * split each doc's token count into ⌈n/maxTokens⌉ chunks of at most
+    * `maxTokens` (all full except the last), emitting one
+    * (keyCol, chunk_idx, n_tokens) row per chunk — feed
+    * `concat(key, '#', chunk_idx)` to `packSequencesByKey` and no bin is
+    * ever oversize. Zero-token docs keep one empty chunk (a doc is never
+    * silently dropped). Pure projection + `explode(sequence(...))`:
+    * no shuffle, no UDF, corpus-scale safe by construction.
+    */
+  def chunkTokens(docs: DataFrame, keyCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    docs
+      .select(col(keyCol), validTokens(keyCol))
+      .withColumn("n_chunks",
+        greatest(ceil(col("n_tokens") / maxTokens.toLong), lit(1L)))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col(keyCol), col("chunk_idx"),
+        least(lit(maxTokens),
+          col("n_tokens") - col("chunk_idx") * maxTokens.toLong)
+          .cast("int").as("n_tokens"))
+  }
+
   /** One-row packing summary: bins, docs, and the fill ratio
     * sum(tokens)/(bins · maxTokens) over non-oversize bins — the quality
     * metric of a packer. No silent anything: oversize docs are counted,

@@ -176,6 +176,36 @@ class PackingSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("max_bin_tokens") == 0L, "null max_bin_tokens leaked")
   }
 
+  test("chunkTokens: chunked docs pack with zero oversize bins, totals preserved") {
+    val maxTok = 64
+    assert(docs.filter(col("n_tokens") > maxTok).count() > 0,
+      "fixture must contain oversize docs for this test to bite")
+    val chunked = Packing.chunkTokens(docs, "doc_id", maxTok).cache()
+    try {
+      // token mass preserved exactly; every doc keeps >= 1 chunk
+      assert(chunked.agg(sum("n_tokens")).head().getLong(0)
+        == docs.agg(sum("n_tokens")).head().getLong(0))
+      assert(chunked.select("doc_id").distinct().count() == docs.count())
+      // all chunks within capacity, all-but-last full
+      assert(chunked.filter(col("n_tokens") > maxTok || col("n_tokens") < 0)
+        .count() == 0)
+      val notFull = chunked.groupBy("doc_id")
+        .agg(max("chunk_idx").as("last"), count(lit(1)).as("n"))
+        .join(chunked, "doc_id")
+        .filter(col("chunk_idx") < col("last") && col("n_tokens") =!= maxTok)
+        .count()
+      assert(notFull == 0, "only the last chunk may be partial")
+      // packing the chunks on a composite key: no oversize bins possible
+      val keyed = chunked.select(
+        concat(col("doc_id"), lit("#"), col("chunk_idx")).as("ck"),
+        col("n_tokens"))
+      val packed = Packing.packSequencesByKey(keyed, "ck", maxTok,
+        numPartitions = 4)
+      assert(packed.filter(col("oversize")).count() == 0)
+      assert(packed.count() == chunked.count())
+    } finally chunked.unpersist()
+  }
+
   test("selectors are independent: the 10% sample is NOT the test split") {
     val docsT = spark.read.parquet(s"$sf/documents.parquet")
     val sampleIds = Sampling.deterministicSample(docsT, "doc_id", 100)
