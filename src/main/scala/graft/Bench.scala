@@ -21,29 +21,11 @@ import pipeline.{Sessions, SynthStore}
 object Bench {
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-  /** Fixed single-threaded calibration: N byte-LM perplexity passes over a
-    * pinned string. The wall-time of this loop depends only on host health
-    * (one core, no Spark, no IO), so a bench record captured during one of
-    * the documented whole-host degradation episodes carries its own
-    * evidence — compare `host_calibration_sec` against the healthy-host
-    * reference in BENCH/BASELINE.md before reading any other number in
-    * the record.
+  /** See HostCalib: compare `host_calibration_sec` against the
+    * healthy-host reference in BENCH/BASELINE.md before reading any other
+    * number in the record.
     */
-  private def calibrate(): Double = {
-    val model = core.ByteLM.build()
-    val pinned = ("The quick brown fox jumps over the lazy dog; " +
-      "pack my box with five dozen liquor jugs. 0123456789.") * 8
-    var sink = 0.0
-    // warm the loop once so JIT state doesn't dominate the measurement
-    var w = 0
-    while (w < 2000) { sink += model.perplexity(pinned); w += 1 }
-    val t0 = System.nanoTime()
-    var i = 0
-    while (i < 20000) { sink += model.perplexity(pinned); i += 1 }
-    val sec = (System.nanoTime() - t0) / 1e9
-    if (sink == Double.MinValue) println(sink) // keep the loop un-elidable
-    sec
-  }
+  private def calibrate(): Double = HostCalib.calibrate()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

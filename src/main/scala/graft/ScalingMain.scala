@@ -116,6 +116,7 @@ object ScalingMain {
         (System.nanoTime() - t0) / 1e9
       }
       once()
+      val calibPre = HostCalib.calibrate()
       // start barrier: wait until EVERY concurrent executor has finished
       // heap pre-touch + generation + warmup before anyone's timed reps
       // begin. Without it, a laggard executor's multi-GB first-touch page
@@ -138,8 +139,13 @@ object ScalingMain {
             && System.nanoTime() < deadline)
           Thread.sleep(200)
       }
+      // host-health evidence bracketing the timed reps (HostCalib: healthy
+      // ≈ 0.38-0.41 s): pre runs in the untimed window before the barrier
+      // ready-mark, post right after the reps — a stall episode landing in
+      // this shard's measurement shows up in the record itself
       val best = (1 to reps).map(_ => once()).min
-      println(f"""{"shard":$idx,"of":$n,"cpus":$cpusS,"turns":$turnsIn,"sec":$best%.3f}""")
+      val calibPost = HostCalib.calibrate()
+      println(f"""{"shard":$idx,"of":$n,"cpus":$cpusS,"turns":$turnsIn,"sec":$best%.3f,"calib_pre_sec":$calibPre%.3f,"calib_post_sec":$calibPost%.3f}""")
       spark.stop()
       return
     }

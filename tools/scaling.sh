@@ -97,9 +97,12 @@ ws = [json.load(open(f'/tmp/weak_{i}.json')) for i in range(4)]
 wall = max(w['sec'] for w in ws)
 # 4 executors completed 4 full corpora in `wall` ⇒ aggregate thr = 4·turns/wall
 eff = (4 * n['turns'] / wall) / (n['turns'] / n['sec']) / 4
+calib = [c for w in ws + [n]
+         for c in (w.get('calib_pre_sec'), w.get('calib_post_sec')) if c]
 print(json.dumps({'turns_each': n['turns'], 'sec_solo': n['sec'],
                   'sec_concurrent_max': wall,
-                  'weak_scaling_efficiency': round(eff, 3)}))
+                  'weak_scaling_efficiency': round(eff, 3),
+                  'calib_max_sec': max(calib) if calib else None}))
 EOF
   exit 0
 fi
@@ -127,9 +130,12 @@ assert total == n['turns'], (total, n['turns'])
 wall = max(s['sec'] for s in shards)
 thr_n = n['turns'] / n['sec']
 thr_4n = total / wall
+calib = [c for s in shards + [n]
+         for c in (s.get('calib_pre_sec'), s.get('calib_post_sec')) if c]
 print(json.dumps({
     'turns': n['turns'],
     'sec_N': round(n['sec'], 3), 'thr_N': round(thr_n),
     'wall_4N': round(wall, 3), 'thr_4N': round(thr_4n),
-    'scaling_efficiency': round(thr_4n / thr_n / 4, 3)}))
+    'scaling_efficiency': round(thr_4n / thr_n / 4, 3),
+    'calib_max_sec': max(calib) if calib else None}))
 EOF
