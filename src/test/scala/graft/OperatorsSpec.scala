@@ -173,6 +173,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ >= 800000L), "only the fresh docs are new")
   }
 
+  test("connected components: transitivity, chains, and a union-find oracle") {
+    import spark.implicits._
+    // hand graph: a 5-chain (diameter 4 — exercises multi-round
+    // propagation), two isolated pairs, one duplicate edge
+    val hand = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(hand)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // real candidate pairs vs a plain-Scala union-find on the same edges
+    val cand = Dedup.minhashCandidates(docs).cache()
+    try {
+      val es = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(es.nonEmpty)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = vertices.map(v => v -> find(v)).toMap
+      val spark_ = Dedup.connectedComponents(cand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(spark_ == want)
+    } finally cand.unpersist()
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
