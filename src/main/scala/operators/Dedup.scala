@@ -279,6 +279,21 @@ object Dedup {
     // callers doing further heavy work should unpersist when done.
   }
 
+  /** The end-to-end near-dup dedup most callers want: minhash-LSH
+    * candidates → exact-Jaccard verify at `tau` → connected components →
+    * keep each cluster's min-doc_id canonical plus every unpaired doc.
+    * The non-survivor set is component-members-minus-canonicals — a
+    * broadcast-sized fraction at any realistic dup rate — removed with
+    * one anti-join on doc_id (8-byte keys; text never joins).
+    */
+  def dropNearDuplicates(docs: DataFrame, tau: Double): DataFrame = {
+    val losers = connectedComponents(
+      nearDuplicates(docs, tau).select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket

@@ -206,6 +206,33 @@ class OperatorsSpec extends AnyFunSuite {
     } finally cand.unpersist()
   }
 
+  test("dropNearDuplicates keeps one canonical per cluster and all unpaired docs") {
+    val kept = Dedup.dropNearDuplicates(docs, 0.5).cache()
+    try {
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      // the planted clones (doc_id+100000 exact, doc_id+200000 near) can
+      // never be their cluster's min id, so none survives; their originals
+      // may themselves duplicate an earlier base doc, so the survivor of
+      // each cluster is only guaranteed to be SOME member, checked below
+      (0L until 20L).foreach { i =>
+        assert(!keptIds.contains(i + 100000), s"exact clone of $i survived")
+      }
+      (0L until 10L).foreach { i =>
+        assert(!keptIds.contains(i + 200000), s"near clone of $i survived")
+      }
+      // the survivors contain NO near-dup pair at the same tau (two
+      // canonical docs with a pair between them would share a component);
+      // deterministic signatures make re-detection a subset of the
+      // original pairs at this (uncapped) fixture scale
+      assert(Dedup.nearDuplicates(kept.select("doc_id", "text"), 0.5).count() == 0)
+      // unpaired docs all survive: kept = all - losers
+      val losers = Dedup.connectedComponents(
+        Dedup.nearDuplicates(docs, 0.5).select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("component")).count()
+      assert(kept.count() == docs.count() - losers)
+    } finally kept.unpersist()
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
