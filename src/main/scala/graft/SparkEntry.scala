@@ -502,6 +502,14 @@ object SparkEntry {
         operators.Packing.packSequences(docs, maxTokens = 256, numPartitions = 8),
         maxTokens = 256)
     }),
+    // oversize-chunking policy (Packing.chunkTokens): deterministic pure
+    // projection ⇒ DuckDB-oracled via generate_series
+    "q_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("int").as("n_tokens"))
+      operators.Packing.chunkTokens(docs, "doc_id", 64)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_split" -> ((s, dir) =>
       operators.Sampling.assignSplit(t(s, dir, "events"), "user_id",
         valPermille = 50, testPermille = 50)
@@ -729,6 +737,16 @@ object SparkEntry {
     "q_levenshtein" ->
       """SELECT p_partkey, levenshtein(lower(p_name), lower(p_type)) AS dist
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_chunks" ->
+      """SELECT doc_id, chunk_idx, least(64, n - chunk_idx * 64) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, n
+        |  FROM (
+        |    SELECT doc_id, n,
+        |           greatest(CAST(ceil(n / 64.0) AS BIGINT), 1) AS n_chunks
+        |    FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+        |          FROM documents)))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
