@@ -70,6 +70,60 @@ object TranscriptStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
+  /** Corpus-LIFETIME streaming dedup — the streaming face of
+    * `Dedup.incrementalNewWithBloom`. `dedupedTurns` above bounds its key
+    * state by the watermark horizon (re-delivery dedup); this one rejects
+    * any text EVER accepted, with stream-side state = the persisted
+    * ~1.2 bytes/key bloom file, never a text table. Per micro-batch
+    * (foreachBatch): in-batch dedup on text → bloom prefilter + exact
+    * confirm against the accepted-output dir (which IS the history) →
+    * append survivors → merge their hashes into the bloom (atomic
+    * rename).
+    *
+    * Crash safety: a batch replayed after append-then-crash re-runs the
+    * exact confirm against a history that already contains its own rows,
+    * so it appends nothing — idempotent WITHOUT a committed-batch marker
+    * (a marker keyed on batchId would break legitimately-restarted
+    * queries, whose ids restart at 0; the confirm join makes replays a
+    * recompute, never a duplicate). fpp only costs recall of NEW texts
+    * into the confirm join, never correctness.
+    */
+  def dedupNewTexts(stream: DataFrame, outDir: String, stateDir: String,
+      expectedItems: Long, fpp: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processDedupBatch(batch.toDF(), outDir, stateDir, expectedItems, fpp)
+    }
+
+  private[streaming] def processDedupBatch(batch: DataFrame,
+      outDir: String, stateDir: String, expectedItems: Long,
+      fpp: Double): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    val bloomPath = s"$stateDir/history.bloom"
+    val bloom =
+      if (Files.exists(Paths.get(bloomPath))) operators.Dedup.readBloom(bloomPath)
+      else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val history =
+      if (fs.exists(outP)) spark.read.parquet(outDir).select("text")
+      else batch.select("text").limit(0)
+    // in-batch first: a text seen twice within one micro-batch keeps one
+    // representative row (which one is source-order-dependent; the
+    // ACCEPTED TEXT SET is deterministic)
+    val fresh = operators.Dedup
+      .incrementalNewWithBloom(bloom, history, batch.dropDuplicates("text"))
+      .persist()
+    try {
+      fresh.write.mode("append").parquet(outDir)
+      operators.Dedup.writeBloom(
+        operators.Dedup.mergeBlooms(bloom,
+          operators.Dedup.historyBloom(fresh, expectedItems, fpp)),
+        bloomPath)
+    } finally fresh.unpersist()
+  }
+
   /** S4: conversation sessionization by 30-minute inactivity gap. */
   def sessions(turns: DataFrame): DataFrame =
     turns

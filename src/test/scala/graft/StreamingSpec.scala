@@ -173,4 +173,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess.getLong(0) > 0)
     assert(sess.getLong(1) > 0)
   }
+
+  test("corpus-lifetime streaming dedup: bloom state carries across batches and query restarts") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val (outDir, stateDir) = (s"$base/out", s"$base/state")
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TranscriptStream.dedupNewTexts(
+      mem.toDF().toDF("doc_id", "text"), outDir, stateDir, expectedItems = 10000)
+      .option("checkpointLocation", s"$base/ck1").start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      mem.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      mem.addData((6L, "alpha"), (7L, "delta"), (8L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out1 = spark.read.parquet(outDir)
+    assert(out1.count() == 4, "one accepted row per distinct text")
+    assert(out1.select("text").collect().map(_.getString(0)).sorted
+      .sameElements(Array("alpha", "beta", "delta", "gamma")))
+    // the carried state claims every accepted text
+    val bloom = operators.Dedup.readBloom(s"$stateDir/history.bloom")
+    assert(out1.select(xxhash64(col("text"))).collect().map(_.getLong(0))
+      .forall(bloom.mightContainLong))
+
+    // a RESTARTED query (fresh checkpoint, batch ids from 0 again) against
+    // the same state: old texts still rejected, new ones accepted
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = TranscriptStream.dedupNewTexts(
+      mem2.toDF().toDF("doc_id", "text"), outDir, stateDir, expectedItems = 10000)
+      .option("checkpointLocation", s"$base/ck2").start()
+    try {
+      mem2.addData((9L, "gamma"), (10L, "epsilon"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(outDir)
+    assert(out2.count() == 5)
+    assert(out2.filter(col("text") === "epsilon").count() == 1)
+    assert(out2.filter(col("text") === "gamma").count() == 1)
+  }
 }
