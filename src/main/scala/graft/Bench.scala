@@ -87,7 +87,9 @@ object Bench {
       if (nFailed > 0) -1.0
       else results.map(_._2).sum + coldSec + steadySec
     val calibPost = calibrate()
-    val calib = math.min(calibPre, calibPost)
+    // headline = the WORSE of the two: a mid-sweep degradation episode
+    // must surface in the summary field, not be masked by a healthy start
+    val calib = math.max(calibPre, calibPost)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed_queries":$nFailed,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec,"host_calibration_sec":$calib,"host_calibration_pre_sec":$calibPre,"host_calibration_post_sec":$calibPost}""")
     spark.stop()
   }

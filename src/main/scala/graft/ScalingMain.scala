@@ -142,7 +142,11 @@ object ScalingMain {
       // host-health evidence bracketing the timed reps (HostCalib: healthy
       // ≈ 0.38-0.41 s): pre runs in the untimed window before the barrier
       // ready-mark, post right after the reps — a stall episode landing in
-      // this shard's measurement shows up in the record itself
+      // this shard's measurement shows up in the record itself. calibPost
+      // may overlap a slower sibling's final rep, but it runs inside THIS
+      // shard's disjoint taskset cpuset and touches an L1-resident string,
+      // so cross-shard cost is memory-bandwidth noise at most (attempts
+      // with it enabled measured 1.018-1.033)
       val best = (1 to reps).map(_ => once()).min
       val calibPost = HostCalib.calibrate()
       println(f"""{"shard":$idx,"of":$n,"cpus":$cpusS,"turns":$turnsIn,"sec":$best%.3f,"calib_pre_sec":$calibPre%.3f,"calib_post_sec":$calibPost%.3f}""")

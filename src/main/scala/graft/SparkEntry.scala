@@ -493,11 +493,13 @@ object SparkEntry {
     // sequence packing + deterministic split: hash/partition-layout
     // dependent (rows-only driver check; gated by PackingSpec)
     "q_packing" -> ((s, dir) => {
-      // coalesce: a null text must surface as 0 tokens here, not as a null
-      // count (packSequences rejects null/negative counts with a typed
-      // error — correct for a data bug, wrong for this demo's null policy)
+      // a null text must surface as 0 tokens here, not as a null count
+      // (packSequences rejects null/negative counts with a typed error —
+      // correct for a data bug, wrong for this demo's null policy). NB
+      // coalesce-to-'' would NOT do it: size(split("", "\\s+")) is 1
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        size(split(coalesce(col("text"), lit("")), "\\s+")).as("n_tokens"))
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), "\\s+"))).as("n_tokens"))
       operators.Packing.packingStats(
         operators.Packing.packSequences(docs, maxTokens = 256, numPartitions = 8),
         maxTokens = 256)
@@ -505,8 +507,11 @@ object SparkEntry {
     // oversize-chunking policy (Packing.chunkTokens): deterministic pure
     // projection ⇒ DuckDB-oracled via generate_series
     "q_chunks" -> ((s, dir) => {
+      // coalesce on BOTH sides (oracle too): a null text is one empty
+      // chunk, not a raise_error here / dropped row in DuckDB
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        regexp_count(col("text"), lit("\\S+")).cast("int").as("n_tokens"))
+        coalesce(regexp_count(col("text"), lit("\\S+")).cast("int"), lit(0))
+          .as("n_tokens"))
       operators.Packing.chunkTokens(docs, "doc_id", 64)
         .orderBy("doc_id", "chunk_idx")
     }),
@@ -744,7 +749,8 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id, n,
         |           greatest(CAST(ceil(n / 64.0) AS BIGINT), 1) AS n_chunks
-        |    FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+        |    FROM (SELECT doc_id,
+        |                 coalesce(len(regexp_extract_all(text, '\S+')), 0) AS n
         |          FROM documents)))
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_tokens" ->

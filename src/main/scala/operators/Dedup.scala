@@ -231,14 +231,19 @@ object Dedup {
     * join + one groupBy-min over (id, label) pairs — 8-byte rows, never
     * text — and the driver only ever sees a convergence COUNT, no data.
     * Rounds needed = the component diameter; near-dup clusters are
-    * shallow balls in practice, and `maxIter` caps pathological chains
-    * with the shortfall OBSERVABLE (`converged` flag in the result), not
-    * silent. Only vertices that appear in some pair get a row — singleton
-    * docs need no component.
+    * shallow balls in practice, and a pathological chain deeper than
+    * `maxIter` fails LOUDLY (IllegalStateException naming the moving
+    * label count) — never a silent partial labeling that would merge
+    * some clusters and not others. Only vertices that appear in some
+    * pair get a row — singleton docs need no component.
     *
-    * Returns (doc_id, component); `converged(labels)` is false only if
-    * the cap bit. Matches a union-find oracle in OperatorsSpec and a
-    * DuckDB recursive-CTE oracle as q_dedup_groups.
+    * Returns (doc_id, component) as an eagerly `localCheckpoint`ed
+    * DataFrame: the iteration caches are unpersisted before returning
+    * (Dataset caches are pinned by the CacheManager until explicitly
+    * unpersisted — repeated calls would otherwise leak), and the result
+    * carries no lineage back through the loop. Matches a union-find
+    * oracle in OperatorsSpec and a DuckDB recursive-CTE oracle as
+    * q_dedup_groups.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -273,10 +278,13 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents: not converged after $maxIter iterations " +
             s"($changed labels still moving) — raise maxIter")
-      labels
+      // freeze the result (eager localCheckpoint truncates the loop's
+      // lineage), then release the cache entry — otherwise every call
+      // leaves a CacheManager-pinned DataFrame behind
+      val frozen = labels.localCheckpoint(true)
+      labels.unpersist()
+      frozen
     } finally edges.unpersist()
-    // NOTE: `labels` stays persisted for the caller (it is the result);
-    // callers doing further heavy work should unpersist when done.
   }
 
   /** The end-to-end near-dup dedup most callers want: minhash-LSH

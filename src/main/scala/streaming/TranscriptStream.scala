@@ -80,13 +80,17 @@ object TranscriptStream {
     * append survivors → merge their hashes into the bloom (atomic
     * rename).
     *
-    * Crash safety: a batch replayed after append-then-crash re-runs the
-    * exact confirm against a history that already contains its own rows,
-    * so it appends nothing — idempotent WITHOUT a committed-batch marker
-    * (a marker keyed on batchId would break legitimately-restarted
-    * queries, whose ids restart at 0; the confirm join makes replays a
-    * recompute, never a duplicate). fpp only costs recall of NEW texts
-    * into the confirm join, never correctness.
+    * Crash safety hinges on WRITE ORDER: the merged bloom is persisted
+    * BEFORE the survivors are appended. A crash between the two leaves a
+    * bloom that over-claims (it has the batch's hashes but history lacks
+    * the rows) — on replay those texts are suspects, the exact confirm
+    * finds no history match, and they append exactly once. The reverse
+    * order would be a real bug: append-then-crash leaves rows the bloom
+    * does NOT claim, so a replay classifies them sure-new, bypasses the
+    * confirm, and duplicates them forever. No committed-batch marker is
+    * kept (one keyed on batchId would break legitimately-restarted
+    * queries, whose ids restart at 0). fpp only costs recall of NEW
+    * texts into the confirm join, never correctness.
     */
   def dedupNewTexts(stream: DataFrame, outDir: String, stateDir: String,
       expectedItems: Long, fpp: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -95,7 +99,11 @@ object TranscriptStream {
         processDedupBatch(batch.toDF(), outDir, stateDir, expectedItems, fpp)
     }
 
-  private[streaming] def processDedupBatch(batch: DataFrame,
+  /** One micro-batch of the corpus-lifetime dedup — public so batch-mode
+    * callers (and the crash-window spec) can drive the identical protocol
+    * without a streaming query around it.
+    */
+  def processDedupBatch(batch: DataFrame,
       outDir: String, stateDir: String, expectedItems: Long,
       fpp: Double): Unit = {
     import java.nio.file.{Files, Paths}
@@ -116,11 +124,12 @@ object TranscriptStream {
       .incrementalNewWithBloom(bloom, history, batch.dropDuplicates("text"))
       .persist()
     try {
-      fresh.write.mode("append").parquet(outDir)
+      // bloom FIRST, append second — see the crash-safety note above
       operators.Dedup.writeBloom(
         operators.Dedup.mergeBlooms(bloom,
           operators.Dedup.historyBloom(fresh, expectedItems, fpp)),
         bloomPath)
+      fresh.write.mode("append").parquet(outDir)
     } finally fresh.unpersist()
   }
 

@@ -217,4 +217,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("text") === "epsilon").count() == 1)
     assert(out2.filter(col("text") === "gamma").count() == 1)
   }
+
+  test("streaming dedup crash window: bloom-written-but-rows-not-appended is rescued") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_crash").toString
+    val (outDir, stateDir) = (s"$base/out", s"$base/state")
+    // batch 1 processed normally
+    streaming.TranscriptStream.processDedupBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      outDir, stateDir, expectedItems = 10000, fpp = 0.01)
+    // emulate the crash state the write order creates: batch 2's hashes
+    // are already merged into the persisted bloom, but its rows never
+    // reached the output (crash between writeBloom and the append)
+    val batch2 = Seq((3L, "gamma"), (4L, "delta")).toDF("doc_id", "text")
+    operators.Dedup.writeBloom(
+      operators.Dedup.mergeBlooms(
+        operators.Dedup.readBloom(s"$stateDir/history.bloom"),
+        operators.Dedup.historyBloom(batch2, expectedItems = 10000)),
+      s"$stateDir/history.bloom")
+    // replay of batch 2: every row is bloom-claimed (a suspect), but the
+    // exact confirm finds no history match — appended exactly once
+    streaming.TranscriptStream.processDedupBatch(batch2,
+      outDir, stateDir, expectedItems = 10000, fpp = 0.01)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 4)
+    assert(out.select("text").collect().map(_.getString(0)).sorted
+      .sameElements(Array("alpha", "beta", "delta", "gamma")))
+    // and a second replay of the same batch appends nothing
+    streaming.TranscriptStream.processDedupBatch(batch2,
+      outDir, stateDir, expectedItems = 10000, fpp = 0.01)
+    assert(spark.read.parquet(outDir).count() == 4)
+  }
 }

@@ -108,4 +108,28 @@ class TrainingDataJobSpec extends AnyFunSuite {
       assert(readSeqs.sameElements(first))
     } finally base.unpersist()
   }
+
+  test("invalidated commit clears the table: an empty split leaves no stale generation") {
+    val dir = java.nio.file.Files.createTempDirectory("tdj-stale").toString
+    val base = kept.cache()
+    try {
+      // generation 1: big val slice guarantees split=val files on disk
+      TrainingDataJob.run(spark, base, dir, "g1", maxTokens = 512,
+        valPermille = 300, testPermille = 10, packPartitions = 4,
+        configSha = "v1")
+      val valDir = new java.io.File(s"$dir/sequences/split=val")
+      assert(valDir.exists, "generation 1 must materialize a val partition")
+      // generation 2 invalidates the commit AND produces ZERO val rows —
+      // dynamic overwrite alone would keep g1's val files and mark them
+      // committed under v2
+      val r2 = TrainingDataJob.run(spark, base, dir, "g2", maxTokens = 512,
+        valPermille = 0, testPermille = 10, packPartitions = 4,
+        configSha = "v2")
+      assert(r2.processedSplits == Seq("train", "val", "test"))
+      assert(!valDir.exists, "stale generation-1 val files survived invalidation")
+      val out = spark.read.parquet(s"$dir/sequences")
+      assert(out.filter(col("split") === "val").count() == 0)
+      assert(out.count() > 0)
+    } finally base.unpersist()
+  }
 }
