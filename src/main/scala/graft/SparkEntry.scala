@@ -290,6 +290,9 @@ object SparkEntry {
     // shared 40-char prefix OR shared 40-char suffix — so DuckDB can pin
     // the full transitive closure with a recursive CTE. component = the
     // cluster's min doc_id (the canonical survivor of "keep one").
+    // NB unlike the other (lazy) queries, CONSTRUCTING this one runs the
+    // CC convergence loop — inherent to iterative algorithms (q_knn_ivf's
+    // centroid build is the same shape); explain-only consumers pay it.
     "q_dedup_groups" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       def pairsOn(key: org.apache.spark.sql.Column): DataFrame = {

@@ -184,6 +184,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
 
+    // the iteration cap fails LOUDLY on a chain deeper than maxIter —
+    // a silent partial labeling would merge some clusters and not others
+    val deep = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(deep, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+
     // real candidate pairs vs a plain-Scala union-find on the same edges
     val cand = Dedup.minhashCandidates(docs).cache()
     try {
