@@ -272,12 +272,17 @@ object Dedup {
         labels = prop
         iter += 1
       }
-      if (changed > 0)
+      if (changed > 0) {
         // cap bit without converging: surface it loudly — a silent partial
-        // labeling would merge some clusters and not others
+        // labeling would merge some clusters and not others. Release the
+        // last iteration's cache first: a caller that catches and retries
+        // with a higher maxIter (as the message suggests) must not
+        // accumulate one pinned DataFrame per failed attempt
+        labels.unpersist()
         throw new IllegalStateException(
           s"connectedComponents: not converged after $maxIter iterations " +
             s"($changed labels still moving) — raise maxIter")
+      }
       // freeze the result (eager localCheckpoint truncates the loop's
       // lineage), then release the cache entry — otherwise every call
       // leaves a CacheManager-pinned DataFrame behind

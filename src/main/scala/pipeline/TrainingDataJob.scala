@@ -147,18 +147,25 @@ object TrainingDataJob {
     val pending = SplitIds.filterNot { case (_, i) => committed(i) }
     if (pending.isEmpty) return RunResult(runId, Nil, skipped, None)
 
+    val (assigned0, res) = assign(spark, kept, maxTokens,
+      valPermille, testPermille, textCol, packPartitions)
+
     // nothing committed = fresh start OR an invalidated prior commit
     // (changed snapshot/config). Dynamic overwrite only replaces
     // partitions the new write PRODUCES — a pending split that happens to
     // pack zero sequences under the new config would silently keep the
     // OLD config's files and then be marked committed. Clear the table
-    // outright so invalidation can never mix generations.
+    // outright so invalidation can never mix generations — AFTER the
+    // expensive assignment succeeded (deleting first would destroy the
+    // previous generation even when this run dies before writing), and
+    // loudly: a delete that fails without throwing would reintroduce the
+    // generation mix
     val seqPath = new org.apache.hadoop.fs.Path(s"$outDir/sequences")
     val fs = seqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (committed.isEmpty && fs.exists(seqPath)) fs.delete(seqPath, true)
+    if (committed.isEmpty && fs.exists(seqPath)
+        && !fs.delete(seqPath, true) && fs.exists(seqPath))
+      sys.error(s"TrainingDataJob: could not clear invalidated table $seqPath")
 
-    val (assigned0, res) = assign(spark, kept, maxTokens,
-      valPermille, testPermille, textCol, packPartitions)
     val assigned = assigned0.cache()
     try {
       assigned

@@ -124,10 +124,16 @@ object TranscriptStream {
       .incrementalNewWithBloom(bloom, history, batch.dropDuplicates("text"))
       .persist()
     try {
-      // bloom FIRST, append second — see the crash-safety note above
+      // bloom FIRST, append second — see the crash-safety note above.
+      // Merge direction matters: mergeBlooms mutates its FIRST argument,
+      // and `bloom` is the live broadcast object the `seen` UDF reads (in
+      // local mode the broadcast value IS this object) — mutating it
+      // before the append action could silently reclassify a recomputed
+      // partition's sure-new rows as claimed. The batch bloom is the
+      // mutation target; `bloom` stays pristine until the JVM drops it.
       operators.Dedup.writeBloom(
-        operators.Dedup.mergeBlooms(bloom,
-          operators.Dedup.historyBloom(fresh, expectedItems, fpp)),
+        operators.Dedup.mergeBlooms(
+          operators.Dedup.historyBloom(fresh, expectedItems, fpp), bloom),
         bloomPath)
       fresh.write.mode("append").parquet(outDir)
     } finally fresh.unpersist()
