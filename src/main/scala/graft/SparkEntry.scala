@@ -284,6 +284,37 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // same incremental dedup over a history table with a PERSISTED
+    // xxhash64 column (the production confirm path: history's hash column
+    // is scanned, its text only for hash-matched slivers) — same oracle
+    "q_dedup_inc_hashed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      operators.Dedup.incrementalNewHashed(
+        operators.Dedup.historyBloom(docs, expectedItems = 100000L),
+        operators.Dedup.withTextHash(docs), incoming)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    // forced shuffled-semi fallback (maxBroadcastSuspects = 0): the
+    // dup-heavy-batch strategy must emit the identical row set — pinned by
+    // the same DuckDB NOT-EXISTS oracle
+    "q_dedup_inc_fallback" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      operators.Dedup.incrementalNew(docs, incoming,
+        expectedItems = 100000L, maxBroadcastSuspects = 0L)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
 
     // duplicate GROUPS from pairs: connected components (iterative
     // hash-min) over a deliberately SQL-expressible edge relation —
@@ -353,6 +384,14 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
           element_at(col("feat"), 1).as("f0"), col("batch_size"),
+          col("decode_ok"))
+        .orderBy("doc_id")),
+    "q_multimodal_audio" -> ((s, dir) =>
+      operators.Multimodal.extractAudioFeatures(s,
+        operators.Multimodal.synthesizeAudio(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), size(col("feat")).as("feat_dim"),
+          element_at(col("feat"), 1).as("rms"), col("batch_size"),
           col("decode_ok"))
         .orderBy("doc_id")),
     "q_langid_docs" -> ((s, dir) =>
@@ -675,6 +714,24 @@ object SparkEntry {
       """SELECT count(*) AS n FROM (
         |  SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text)""".stripMargin,
     "q_dedup_incremental" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT i.doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_inc_hashed" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT i.doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_inc_fallback" ->
       """WITH incoming AS (
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL

@@ -129,13 +129,15 @@ object Dedup {
     * (see `incrementalNewWithBloom` for the amortized per-batch flow).
     */
   def historyBloom(history: DataFrame, expectedItems: Long,
-      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+      fpp: Double = 0.01, knownNonEmpty: Boolean = false): org.apache.spark.util.sketch.BloomFilter =
     // Spark's bloomFilter aggregate yields null bytes over ZERO input rows
     // and readFrom NPEs on them; an empty history is a legitimate first
     // run — test for it explicitly (isEmpty = a limit-1 probe, cheap)
     // rather than catching the NPE, so a genuine aggregation failure still
-    // surfaces instead of masquerading as an empty filter
-    if (history.isEmpty)
+    // surfaces instead of masquerading as an empty filter. Callers that
+    // already counted the input (processDedupBatch counts its persisted
+    // batch anyway) skip the probe via `knownNonEmpty`.
+    if (!knownNonEmpty && history.isEmpty)
       org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
     else history.select(xxhash64(col("text")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
@@ -172,6 +174,22 @@ object Dedup {
     a
   }
 
+  /** Suspect sets up to this many rows are broadcast for the history prune
+    * (8-byte hashes ⇒ ~80 MB at the default); a dup-heavier batch (e.g. a
+    * full re-crawl, where EVERY row is a suspect) falls back to a shuffled
+    * LEFT SEMI on the same keys — identical output, no driver/broadcast-
+    * limit risk.
+    */
+  final val MaxBroadcastSuspects = 10000000L
+
+  /** Matched-hash sets up to this size are collected and pushed into the
+    * history text scan as an IN filter (parquet row-group stats +
+    * dictionary pushdown skip text IO for non-matching groups); larger
+    * sets stay distributed — a million-literal In expression would bloat
+    * the plan far past what the pushdown saves.
+    */
+  final val MaxPushdownMatches = 100000
+
   /** Incremental (cross-batch) exact dedup: the rows of `incoming` whose
     * text does not appear in `history` — the production shape of dedup at
     * corpus scale, where today's batch must be checked against 100 TB of
@@ -181,42 +199,146 @@ object Dedup {
     * bloom-build scan entirely.
     */
   def incrementalNew(history: DataFrame, incoming: DataFrame,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+      expectedItems: Long, fpp: Double = 0.01,
+      maxBroadcastSuspects: Long = MaxBroadcastSuspects): DataFrame =
     incrementalNewWithBloom(historyBloom(history, expectedItems, fpp),
-      history, incoming)
+      history, incoming, maxBroadcastSuspects)
 
   /** Exact incremental dedup given an already-built history bloom (the
     * persisted cross-batch state — history is NOT scanned to build it).
     *
-    * Plan shape, and why no shuffle ever carries history's text column:
+    * Plan shape, and why no shuffle ever carries history's text column on
+    * the common path:
     * 1. the broadcast bloom prunes `incoming` — only rows the bloom claims
     *    (true dups + an fpp-bounded sliver of new rows) become suspects;
-    * 2. history is pruned to the suspect hash set by a broadcast LEFT SEMI
-    *    join keyed on `xxhash64(text)` — the broadcast side is the 8-byte
-    *    suspect hashes (bounded by the batch's dup count), so the 100 TB
-    *    history side streams through its scan with ZERO exchange;
+    * 2. one batch-proportional counting job sizes the suspect set (the
+    *    join strategy must be fixed at plan time — letting AQE decide
+    *    would shuffle-write the full history side first, the exact thing
+    *    this layout exists to avoid). At or below `maxBroadcastSuspects`
+    *    history is pruned by a broadcast LEFT SEMI keyed on
+    *    `xxhash64(text)` — the broadcast side is the 8-byte suspect
+    *    hashes, so the 100 TB history side streams through its scan with
+    *    ZERO exchange; above it (a dup-heavy re-crawl batch) the same
+    *    semi join runs shuffled — both sides exchange on the 8-byte hash,
+    *    never on text;
     * 3. the confirming anti-join then exact-compares text only within that
     *    hash-matched sliver (≈ batch-dup-sized on both sides), rescuing
     *    both bloom false positives and 64-bit hash collisions.
     * The result is EXACT: it equals a plain anti-join on text (asserted in
-    * OperatorsSpec and against the DuckDB NOT EXISTS oracle); the only
-    * data volumes that move are batch-proportional, never history-
-    * proportional.
+    * OperatorsSpec and against the DuckDB NOT EXISTS oracle) on both
+    * strategies. Null-text rows follow SQL NOT-EXISTS semantics: a null
+    * never equals anything, so they are always classified new (and the
+    * DuckDB oracle agrees); callers doing SET dedup must pre-filter nulls
+    * (TranscriptStream.processDedupBatch does).
+    *
+    * NOTE: calling this runs the sizing job eagerly (one scan of
+    * `incoming`); the returned DataFrame is lazy as usual.
     */
   def incrementalNewWithBloom(
       bloom: org.apache.spark.util.sketch.BloomFilter,
-      history: DataFrame, incoming: DataFrame): DataFrame = {
+      history: DataFrame, incoming: DataFrame,
+      maxBroadcastSuspects: Long = MaxBroadcastSuspects): DataFrame = {
     val spark = incoming.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val seen = udf((h: Long) => bloomBc.value.mightContainLong(h))
     val keyed = incoming.withColumn("_h", xxhash64(col("text")))
     val sureNew = keyed.filter(!seen(col("_h")))
     val suspects = keyed.filter(seen(col("_h")))
+    // upper-bounds the distinct suspect-hash count without a shuffle; the
+    // threshold guard only needs a conservative bound
+    val nSuspects = suspects.count()
+    if (nSuspects == 0) return sureNew.drop("_h")
     val suspectHashes = suspects.select("_h").distinct()
+    val prune =
+      if (nSuspects <= maxBroadcastSuspects) broadcast(suspectHashes)
+      else suspectHashes.hint("shuffle_hash")
     val histCand = history
       .select(xxhash64(col("text")).as("_h"), col("text"))
-      .join(broadcast(suspectHashes), Seq("_h"), "left_semi")
+      .join(prune, Seq("_h"), "left_semi")
     val confirmed = suspects.join(histCand, Seq("_h", "text"), "left_anti")
+    sureNew.unionByName(confirmed).drop("_h")
+  }
+
+  /** Attach the persisted 8-byte dedup key. Written WITH the accepted
+    * output (TranscriptStream.processDedupBatch), so later batches confirm
+    * against the stored hash column instead of recomputing `xxhash64` over
+    * history's text — which forced a full text-column scan per batch.
+    */
+  def withTextHash(df: DataFrame): DataFrame =
+    df.withColumn("_h", xxhash64(col("text")))
+
+  /** Exact incremental dedup against a history table that PERSISTS its
+    * hash column `_h = xxhash64(text)` (see `withTextHash`) — the round-5
+    * fix for the last scan-proportional cost in the per-batch confirm:
+    * with only a bloom, every batch re-hashed history's TEXT column (zero
+    * shuffle, but a full-corpus read per batch at 100 TB).
+    *
+    * Phase 1 semi-joins history's HASH COLUMN ONLY against the suspect
+    * hashes — parquet column pruning makes that scan read 8 bytes/row,
+    * ~1000× less IO than text. Text is then read ONLY if phase 1 matched
+    * anything:
+    * - zero matches (the common case for a mostly-new batch, where
+    *   suspects are just the bloom's fpp sliver): the text column is never
+    *   read at all and the suspects pass straight through as new;
+    * - ≤ `MaxPushdownMatches` matches: the matched hashes are collected
+    *   and pushed into the text scan as an IN(_h) filter — PushedFilters
+    *   reaches the parquet reader, so row-group stats / dictionaries can
+    *   skip text IO for non-matching groups;
+    * - larger match sets stay distributed: a broadcast (or, above
+    *   `maxBroadcastSuspects`, shuffled) semi join keyed on `_h` — text is
+    *   scanned but never shuffled, and a batch that dup-heavy inherently
+    *   needs the text compare.
+    * A history frame WITHOUT a `_h` column still works (the hash is
+    * computed on the fly — same semantics, no text-scan saving).
+    * Output is EXACT and identical to `incrementalNewWithBloom` and to the
+    * DuckDB NOT-EXISTS oracle; null-text rows are always new (SQL
+    * semantics — see `incrementalNewWithBloom`).
+    *
+    * NOTE: phases run eagerly (the sizing count + the phase-1 probe); the
+    * returned DataFrame is lazy.
+    */
+  def incrementalNewHashed(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      history: DataFrame, incoming: DataFrame,
+      maxBroadcastSuspects: Long = MaxBroadcastSuspects): DataFrame = {
+    val spark = incoming.sparkSession
+    val historyHashed =
+      if (history.columns.contains("_h")) history else withTextHash(history)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val seen = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val keyed = incoming.withColumn("_h", xxhash64(col("text")))
+    val sureNew = keyed.filter(!seen(col("_h")))
+    val suspects = keyed.filter(seen(col("_h")))
+    val nSuspects = suspects.count()
+    if (nSuspects == 0) return sureNew.drop("_h")
+    val suspectHashes = suspects.select("_h").distinct()
+    val small = nSuspects <= maxBroadcastSuspects
+    // phase 1: history's hash column only — never text
+    val matchedHashes = historyHashed.select("_h")
+      .join(if (small) broadcast(suspectHashes)
+            else suspectHashes.hint("shuffle_hash"),
+        Seq("_h"), "left_semi")
+      .distinct()
+    val confirmed =
+      if (nSuspects <= MaxPushdownMatches) {
+        // matched ⊆ suspects ⇒ collect is bounded by the pushdown cap
+        val matched = matchedHashes.collect().map(_.getLong(0))
+        if (matched.isEmpty) suspects
+        else {
+          val histCand = historyHashed
+            .filter(col("_h").isin(matched.map(Long.box): _*))
+            .select("_h", "text")
+          suspects.join(histCand, Seq("_h", "text"), "left_anti")
+        }
+      } else {
+        // phase 2 recomputes the phase-1 probe (hash-column scans are the
+        // cheap currency here) and semi-joins text distributed
+        val histCand = historyHashed.select("_h", "text")
+          .join(if (small) broadcast(matchedHashes)
+                else matchedHashes.hint("shuffle_hash"),
+            Seq("_h"), "left_semi")
+        suspects.join(histCand, Seq("_h", "text"), "left_anti")
+      }
     sureNew.unionByName(confirmed).drop("_h")
   }
 
@@ -245,7 +367,33 @@ object Dedup {
     * oracle in OperatorsSpec and a DuckDB recursive-CTE oracle as
     * q_dedup_groups.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsRounds(pairs, maxIter)._1
+
+  /** `connectedComponents` plus the number of rounds actually run —
+    * exposed so tests can assert the pointer-shortcut contraction (a
+    * 2^k-deep chain must converge in ~k rounds, not 2^k).
+    *
+    * Per round, in ONE cached computation: (1) neighbor-min propagation
+    * with the round's STARTING label carried through the aggregation (so
+    * convergence is read off the same cached rows with a plain filter —
+    * the old per-round re-join against the previous labels existed only to
+    * count moved labels and doubled the round's work); (2) a pointer-
+    * shortcut hop `label := label(label)` — labels are vertex ids, so one
+    * self-join reads each vertex's label's label. Shortcutting contracts a
+    * chain-shaped component from diameter rounds to ~log₂(diameter):
+    * labels decrease monotonically (min includes self) and label(v) ≤ v
+    * always, so label(label(v)) ≤ label(v) and the fixpoint is unchanged.
+    *
+    * The propagated labels are eagerly `localCheckpoint`ed each round
+    * BEFORE the self-join: persist caches DATA, not plans, so a self-join
+    * over an un-truncated lineage doubles the logical plan every round —
+    * exponential analysis/toString cost that OOMs the driver near round 8
+    * (measured). Checkpointing makes `prop` a leaf, keeping every round's
+    * plan constant-size; the checkpoint RDDs are GC-reclaimed.
+    */
+  def connectedComponentsRounds(pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
@@ -259,17 +407,29 @@ object Dedup {
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
+        // neighbor-min propagation; `_old` (null on propagated rows, the
+        // starting label on each vertex's own row — max ignores nulls)
+        // rides through the groupBy so the convergence count needs no join
         val prop = edges
           .join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("component"))
-          .unionByName(labels)
-          .groupBy("doc_id").agg(min("component").as("component"))
+          .select(col("dst").as("doc_id"), col("component"),
+            lit(null).cast("long").as("_old"))
+          .unionByName(labels.select(col("doc_id"), col("component"),
+            col("component").as("_old")))
+          .groupBy("doc_id")
+          .agg(min("component").as("component"), max("_old").as("_old"))
+          .localCheckpoint(true) // leaf plan; feeds BOTH shortcut sides
+        // pointer shortcut: component values are vertex ids present in
+        // `prop`, so the inner self-join is total
+        val short = prop.alias("v")
+          .join(prop.select(col("doc_id").as("_c"), col("component").as("_cc")),
+            col("v.component") === col("_c"))
+          .select(col("v.doc_id").as("doc_id"), col("_cc").as("component"),
+            col("v._old").as("_old"))
           .persist()
-        changed = prop
-          .join(labels.withColumnRenamed("component", "_old"), Seq("doc_id"))
-          .filter(col("component") =!= col("_old")).count()
+        changed = short.filter(col("component") =!= col("_old")).count()
         labels.unpersist()
-        labels = prop
+        labels = short
         iter += 1
       }
       if (changed > 0) {
@@ -286,9 +446,9 @@ object Dedup {
       // freeze the result (eager localCheckpoint truncates the loop's
       // lineage), then release the cache entry — otherwise every call
       // leaves a CacheManager-pinned DataFrame behind
-      val frozen = labels.localCheckpoint(true)
+      val frozen = labels.select("doc_id", "component").localCheckpoint(true)
       labels.unpersist()
-      frozen
+      (frozen, iter)
     } finally edges.unpersist()
   }
 

@@ -138,6 +138,170 @@ object Multimodal {
       (quad(3) / math.max(quadN(3), 1) / 255.0).toFloat)
   }
 
+  // ------------------------------------------------------------------
+  // Audio modality — the second REAL modality, still zero extra jars:
+  // payloads are genuine 16-bit PCM WAV bytes (RIFF container written by
+  // javax.sound.sampled, part of the JDK's java.desktop module), decode is
+  // AudioSystem.getAudioInputStream, and features are actual signal
+  // statistics (RMS, zero-crossing rate, Goertzel band-energy fractions,
+  // peak, duration). Same contract as the image path: corrupt payloads
+  // yield decode_ok = false with zeroed features, the binary column flows
+  // once, batches amortize "model" setup, and swapping the featurizer for
+  // a real embedding model changes only `featurizeAudio`.
+  // ------------------------------------------------------------------
+
+  final val AudioSampleRate = 8000f
+
+  /** Goertzel probe frequencies (Hz) for features [2..5] — fixed, spread
+    * across the 0-4 kHz band the 8 kHz sample rate can represent. */
+  final val AudioBands = Array(400.0, 800.0, 1600.0, 3200.0)
+
+  /** Deterministic WAV: two sinusoids + low-level noise whose frequencies/
+    * amplitude derive from a splitmix of (doc_id, text) — content-dependent
+    * and reproducible everywhere, like `renderPng`.
+    */
+  private[operators] def renderWav(docId: Long, text: String): Array[Byte] = {
+    val seed = Murmur3.hashString(if (text == null) "" else text, docId.toInt)
+    val h1 = core.Lcg.mix(seed.toLong, 1L)
+    val h2 = core.Lcg.mix(seed.toLong, 2L)
+    val h3 = core.Lcg.mix(seed.toLong, 3L)
+    val f1 = 300.0 + math.floorMod(h1, 1200L)            // 300-1500 Hz
+    val f2 = 300.0 + math.floorMod(h2, 2400L)            // 300-2700 Hz
+    val a1 = 0.30 + math.floorMod(h3, 100L) / 500.0      // 0.30-0.50
+    val n = 512 + (math.floorMod(docId, 64L) * 32).toInt // 512-2528 samples
+    val sr = AudioSampleRate.toDouble
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val noise = (core.Lcg.mix(seed.toLong, 100L + i) & 0xffff) / 65535.0 - 0.5
+      val v = a1 * math.sin(2 * math.Pi * f1 * i / sr) +
+        0.25 * math.sin(2 * math.Pi * f2 * i / sr) + 0.05 * noise
+      val s = math.max(-32768, math.min(32767, math.round(v * 32767))).toInt
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    finally ais.close()
+    out.toByteArray
+  }
+
+  private val renderWavUdf = udf((docId: Long, text: String) =>
+    renderWav(docId, text))
+
+  /** Attach a real WAV payload + typed metadata to a text table. */
+  def synthesizeAudio(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      renderWavUdf(col("doc_id"), col("text")).as("payload"),
+      struct(
+        lit("audio/wav").as("format"),
+        lit(AudioSampleRate.toInt).as("sample_rate"),
+        (lit(512) + pmod(col("doc_id"), lit(64)) * 32).cast("int")
+          .as("n_samples")).as("meta"))
+
+  /** Real WAV decode via the JDK audio stack; a corrupt payload (bad RIFF,
+    * truncated frames, unsupported encoding) yields None, never a thrown
+    * job-killer.
+    */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[Array[Short]] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1
+            || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((bytes(2 * i + 1) & 0xff) << 8)
+              | (bytes(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some(samples)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Goertzel power of `samples` at frequency `f` — the classic single-bin
+    * DFT recurrence, O(n) per band with no FFT dependency. */
+  private def goertzel(samples: Array[Short], f: Double, sr: Double): Double = {
+    val coeff = 2.0 * math.cos(2 * math.Pi * f / sr)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val s0 = samples(i) / 32768.0 + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Real signal features, all in [0, 1]:
+    * [rms, zero-crossing rate, band-energy fraction ×4 (Goertzel at
+    * `AudioBands`), peak amplitude, duration/2 s].
+    */
+  private[operators] def featurizeAudio(samples: Array[Short]): Array[Float] = {
+    val n = samples.length
+    if (n == 0) return new Array[Float](FeatureDim)
+    var sum2 = 0.0; var peak = 0.0; var zc = 0L
+    var i = 0
+    while (i < n) {
+      val v = samples(i) / 32768.0
+      sum2 += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    val sr = AudioSampleRate.toDouble
+    val powers = AudioBands.map(f => goertzel(samples, f, sr))
+    val total = powers.sum
+    Array(
+      math.sqrt(sum2 / n).toFloat,
+      (if (n > 1) zc.toDouble / (n - 1) else 0.0).toFloat,
+      (if (total > 0) powers(0) / total else 0.0).toFloat,
+      (if (total > 0) powers(1) / total else 0.0).toFloat,
+      (if (total > 0) powers(2) / total else 0.0).toFloat,
+      (if (total > 0) powers(3) / total else 0.0).toFloat,
+      peak.toFloat,
+      math.min(1.0, n / sr / 2.0).toFloat)
+  }
+
+  /** Batched per-partition audio decode + featurize — identical shape and
+    * corrupt-safety to the image path.
+    */
+  def extractAudioFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (docId, payload) =>
+            decodeWav(payload) match {
+              case Some(samples) =>
+                MediaFeatures(docId, featurizeAudio(samples), batch.size,
+                  decode_ok = true)
+              case None =>
+                MediaFeatures(docId, new Array[Float](FeatureDim), batch.size,
+                  decode_ok = false)
+            }
+          }
+        }
+      }
+  }
+
   /** Batched per-partition decode + featurize: the binary column flows to
     * executors once; batches of BatchSize amortize model-session setup
     * exactly like a vectorized UDF would.

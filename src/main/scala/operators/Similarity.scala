@@ -146,6 +146,42 @@ object Similarity {
       else assigned)
   }
 
+  /** Persist a built index as tables — the production layout the
+    * build/query split promises (assignment happens once per corpus
+    * version, query batches share the artifact across JOBS, not just
+    * within one session's cache): the assignment parquet is written
+    * PARTITIONED BY `cid`, so a query batch's nProbe bucket probe reads
+    * nProbe/C of the corpus via partition layout rather than a filter
+    * over a cache; the centroids land in a tiny sidecar table
+    * (C rows — one file). `readIvfIndex(path)` must yield identical
+    * `queryIvf` output to the in-memory index (round-trip asserted in
+    * OperatorsSpec).
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
+    index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read a persisted index back. Centroids are re-sorted by cid: probe
+    * selection breaks distance ties toward the EARLIER array entry, so the
+    * array order is part of the index's semantics.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      .sortBy(_._1)
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id"), col("embedding"), col("cid")))
+  }
+
   /** Query a built index: probe the nProbe nearest centroid buckets per
     * query, exact cosine within the probed subset. Probe selection is a
     * bounded partial select — O(C·nProbe) with no allocation-per-centroid

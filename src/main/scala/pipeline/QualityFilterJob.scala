@@ -47,10 +47,11 @@ object QualityFilterJob {
       inputSnapshot: String = "synth@seed42",
       configSha: String = "rulespec-v1"): Result = {
     val t0 = System.nanoTime()
-    // dynamic partition overwrite => re-running a partition replaces exactly
-    // that partition's files (idempotence); untouched partitions survive.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
+    // dynamic partition overwrite (per-WRITE option on each partitioned
+    // sink below, never a session conf — which would silently change
+    // overwrite semantics for every later job on the shared session):
+    // re-running a partition replaces exactly that partition's files
+    // (idempotence); untouched partitions survive.
     val committed: Set[Int] = Manifest.read(outDir) match {
       case Some(m) if m.inputSnapshot == inputSnapshot && m.configSha == configSha =>
         m.committed
@@ -91,6 +92,7 @@ object QualityFilterJob {
         col("scrubbed_text"), col("tool"), col("ts"), col("lang"),
         col("lang_conf"), col("ppl"))
       .write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$outDir/kept")
 
     val flat: Map[String, Long] = obs.get("pm") match {
@@ -123,6 +125,7 @@ object QualityFilterJob {
           .foreach(s => fs.delete(s.getPath, false))
       metricRows.toDF(metricsSchemaCols: _*)
         .write.mode(SaveMode.Overwrite).partitionBy("partition_id")
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$outDir/metrics")
     } else if (!fs.exists(metricsPath)) {
       // zero rows processed on a fresh dir: still create the metrics path

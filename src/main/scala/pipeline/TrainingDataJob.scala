@@ -137,7 +137,6 @@ object TrainingDataJob {
       packPartitions: Int = 32,
       inputSnapshot: String = "synth@seed42",
       configSha: String = "trainspec-v1"): RunResult = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val committed: Set[Int] = Manifest.read(outDir) match {
       case Some(m) if m.inputSnapshot == inputSnapshot && m.configSha == configSha =>
         m.committed
@@ -177,6 +176,10 @@ object TrainingDataJob {
           sum("n_tokens").as("n_tokens"),
           (max(col("oversize").cast("int")) === 1).as("oversize"))
         .write.mode(SaveMode.Overwrite).partitionBy("split")
+        // per-WRITE dynamic overwrite (only the produced splits are
+        // replaced); a session-level conf set here would silently change
+        // overwrite semantics for every later job on the shared session
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$outDir/sequences")
     } finally assigned.unpersist()
     Manifest.write(outDir, Manifest(runId, inputSnapshot, configSha,

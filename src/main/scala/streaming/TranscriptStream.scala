@@ -102,6 +102,15 @@ object TranscriptStream {
   /** One micro-batch of the corpus-lifetime dedup — public so batch-mode
     * callers (and the crash-window spec) can drive the identical protocol
     * without a streaming query around it.
+    *
+    * The accepted-output table carries a persisted `_h = xxhash64(text)`
+    * column (Dedup.withTextHash), so the exact confirm's history probe
+    * scans 8 bytes/row instead of re-hashing the full text column every
+    * batch (Dedup.incrementalNewHashed — at 100 TB the old shape was a
+    * full-corpus text read per micro-batch). Null-text rows are dropped at
+    * this entry point: a null joins nothing in the exact confirm (SQL NULL
+    * semantics), so it would re-append on EVERY batch it appears in — a
+    * permanent duplicate leak, and a null turn is not content anyway.
     */
   def processDedupBatch(batch: DataFrame,
       outDir: String, stateDir: String, expectedItems: Long,
@@ -115,15 +124,21 @@ object TranscriptStream {
     val outP = new org.apache.hadoop.fs.Path(outDir)
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val history =
-      if (fs.exists(outP)) spark.read.parquet(outDir).select("text")
-      else batch.select("text").limit(0)
+      if (fs.exists(outP)) spark.read.parquet(outDir).select("_h", "text")
+      else operators.Dedup.withTextHash(batch.select("text").limit(0))
     // in-batch first: a text seen twice within one micro-batch keeps one
     // representative row (which one is source-order-dependent; the
     // ACCEPTED TEXT SET is deterministic)
     val fresh = operators.Dedup
-      .incrementalNewWithBloom(bloom, history, batch.dropDuplicates("text"))
+      .incrementalNewHashed(bloom, history,
+        batch.filter(col("text").isNotNull).dropDuplicates("text"))
       .persist()
     try {
+      // materializes the cache AND decides the all-dup fast path: an
+      // empty fresh set has nothing to append and nothing to merge, so
+      // the bloom write and the historyBloom probe are skipped entirely
+      val nFresh = fresh.count()
+      if (nFresh == 0) return
       // bloom FIRST, append second — see the crash-safety note above.
       // Merge direction matters: mergeBlooms mutates its FIRST argument,
       // and `bloom` is the live broadcast object the `seen` UDF reads (in
@@ -133,9 +148,18 @@ object TranscriptStream {
       // mutation target; `bloom` stays pristine until the JVM drops it.
       operators.Dedup.writeBloom(
         operators.Dedup.mergeBlooms(
-          operators.Dedup.historyBloom(fresh, expectedItems, fpp), bloom),
+          operators.Dedup.historyBloom(fresh, expectedItems, fpp,
+            knownNonEmpty = true), bloom),
         bloomPath)
-      fresh.write.mode("append").parquet(outDir)
+      // a crash mid-append can orphan a _temporary task dir that a
+      // replay's FileOutputCommitter (same job/attempt ids) could commit
+      // ALONGSIDE its own files, duplicating rows — clear it before
+      // writing, loudly on failure (bloom-first ordering is unaffected:
+      // the cleanup only removes never-committed temp output)
+      val tmpP = new org.apache.hadoop.fs.Path(outP, "_temporary")
+      if (fs.exists(tmpP) && !fs.delete(tmpP, true) && fs.exists(tmpP))
+        sys.error(s"processDedupBatch: could not clear stale $tmpP")
+      operators.Dedup.withTextHash(fresh).write.mode("append").parquet(outDir)
     } finally fresh.unpersist()
   }
 

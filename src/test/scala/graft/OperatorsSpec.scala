@@ -184,11 +184,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
 
-    // the iteration cap fails LOUDLY on a chain deeper than maxIter —
-    // a silent partial labeling would merge some clusters and not others
+    // the iteration cap fails LOUDLY when the graph can't converge in the
+    // allotted rounds — a silent partial labeling would merge some
+    // clusters and not others (one round can never settle a 7-chain even
+    // with the pointer shortcut)
     val deep = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(deep, maxIter = 3).collect()
+      Dedup.connectedComponents(deep, maxIter = 1).collect()
     }
     assert(e.getMessage.contains("not converged"))
 
@@ -212,6 +214,140 @@ class OperatorsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(spark_ == want)
     } finally cand.unpersist()
+  }
+
+  test("connected components: pointer shortcut contracts a deep chain to ~log rounds") {
+    import spark.implicits._
+    // a 256-deep chain has diameter 255 — plain hash-min label propagation
+    // needs 255 rounds; the label(label(v)) shortcut must land well under
+    // the default 20-round cap (~log2(255) + propagation slack)
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsRounds(chain, maxIter = 20)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 256 && got.forall(_._2 == 0L),
+      "chain must collapse into one component rooted at 0")
+    info(s"256-vertex chain converged in $rounds rounds")
+    assert(rounds <= 12, s"shortcut regressed: $rounds rounds for a 256-chain")
+  }
+
+  test("incremental dedup forced shuffled fallback == broadcast path == plain anti-join") {
+    val history = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val incoming = history.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionByName(history.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+    def ids(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted
+    // maxBroadcastSuspects = 0 forces the shuffled LEFT SEMI prune (the
+    // dup-heavy re-crawl strategy); the output must be row-identical to
+    // the broadcast path and to a plain text anti-join
+    val forced = Dedup.incrementalNew(history, incoming,
+      expectedItems = 10000, maxBroadcastSuspects = 0L)
+    val bcast = Dedup.incrementalNew(history, incoming, expectedItems = 10000)
+    val want = ids(incoming.join(history.select("text"), Seq("text"), "left_anti"))
+    assert(ids(forced).sameElements(want))
+    assert(ids(bcast).sameElements(want))
+    // and the forced plan really is shuffled: no broadcast LEFT SEMI
+    // (AQE off so the static plan is inspectable and un-rewritten)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.incrementalNew(history, incoming,
+        expectedItems = 10000, maxBroadcastSuspects = 0L)
+        .queryExecution.executedPlan
+      val bSemis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(bSemis.isEmpty, s"fallback still broadcasts the semi prune:\n$plan")
+      val sSemis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(sSemis.nonEmpty, s"no shuffled LEFT SEMI in fallback plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("hashed-history confirm == bloom confirm == plain anti-join, with IN pushdown") {
+    val history = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val incoming = history.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionByName(history.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+    // persist the hash column with the history table, as the streaming
+    // sink does
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashed").toString
+    Dedup.withTextHash(history).write.parquet(s"$dir/hist")
+    val hist = spark.read.parquet(s"$dir/hist")
+    val bloom = Dedup.historyBloom(history, expectedItems = 10000)
+    val got = Dedup.incrementalNewHashed(bloom, hist, incoming)
+    val want = incoming.join(history.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(want))
+    // the text-bearing history scan carries the matched hashes as a
+    // pushed IN(_h) filter — parquet can skip text IO for non-matching
+    // row groups; no scan recomputes xxhash64 over history text
+    val txt = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(txt.contains("PushedFilters") && txt.contains("In(_h"),
+      s"no IN(_h) pushdown in:\n$txt")
+  }
+
+  test("hashed-history confirm: zero hash matches ⇒ history (and its text) never read") {
+    import spark.implicits._
+    val history = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashed0").toString
+    Dedup.withTextHash(history).write.parquet(s"$dir/hist")
+    val hist = spark.read.parquet(s"$dir/hist")
+    // an over-claiming bloom (the crash-window state): it claims texts the
+    // history table does NOT contain, so every claimed row is a suspect
+    // whose phase-1 probe finds no hash match
+    val future = Seq("graft zzz one", "graft zzz two").toDF("text")
+    val bloom = Dedup.mergeBlooms(
+      Dedup.historyBloom(hist.select("text"), expectedItems = 10000),
+      Dedup.historyBloom(future, expectedItems = 10000))
+    val incoming = Seq((1L, "graft zzz one"), (2L, "graft zzz two"))
+      .toDF("doc_id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Dedup.incrementalNewHashed(bloom, hist, incoming)
+      assert(out.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)),
+        "bloom-claimed but unmatched rows are new")
+      // matched set was empty ⇒ the confirm branch dropped history
+      // entirely: the final plan contains NO file scan at all (incoming
+      // is in-memory), so the text column was provably never read
+      val scans = out.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.isEmpty,
+        s"history scanned despite zero hash matches:\n${scans.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("IVF index write/read round-trip: persisted index answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val built = Similarity.buildIvfIndex(spark, emb, c = 16, persist = false)
+    Similarity.writeIvfIndex(built, s"$dir/ivf")
+    val back = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    assert(back.centroids.map(_._1).sameElements(built.centroids.map(_._1)))
+    assert(back.centroids.zip(built.centroids).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    }, "centroid sidecar round-trip changed values")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val q = emb.filter(col("vec_id") < 10)
+    assert(rows(Similarity.queryIvf(back, q, 5))
+      .sameElements(rows(Similarity.queryIvf(built, q, 5))),
+      "read-back index must answer identically to the in-memory one")
+    // the production layout promise: the assignment is cid-partitioned on disk
+    val sub = new java.io.File(s"$dir/ivf/assigned").listFiles()
+    assert(sub != null && sub.exists(f => f.isDirectory && f.getName.startsWith("cid=")),
+      "assignment table is not partitioned by cid")
   }
 
   test("dropNearDuplicates keeps one canonical per cluster and all unpaired docs") {
@@ -502,6 +638,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.forall(_.feat(3) > 0f), "hash-noise images must have luma variance")
     assert(feats.map(_.feat.toSeq).distinct.length == feats.length,
       "different docs must yield different pixel features")
+  }
+
+  test("audio feature extraction: schema, batch shape, determinism") {
+    val media = Multimodal.synthesizeAudio(docs)
+    val feats = Multimodal.extractAudioFeatures(spark, media).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.decode_ok), "every synthesized WAV must decode")
+    assert(feats.forall(_.feat.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.batch_size >= 1 && f.batch_size <= Multimodal.BatchSize))
+    val feats2 = Multimodal.extractAudioFeatures(spark, media.repartition(7)).collect()
+    assert(feats.map(f => f.doc_id -> f.feat.toSeq).toMap ==
+      feats2.map(f => f.doc_id -> f.feat.toSeq).toMap)
+  }
+
+  test("audio decode is real: WAV round-trips via plain AudioSystem") {
+    val media = Multimodal.synthesizeAudio(docs.limit(8)).collect()
+    media.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // genuine RIFF/WAVE container, decodable by the JDK audio stack
+      // outside our code path
+      assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+      val meta = r.getStruct(2)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        assert(ais.getFormat.getSampleRate == Multimodal.AudioSampleRate)
+        assert(ais.getFrameLength == meta.getInt(2).toLong,
+          s"decoded frames ${ais.getFrameLength} != meta n_samples")
+      } finally ais.close()
+    }
+    val feats = Multimodal.extractAudioFeatures(spark,
+      Multimodal.synthesizeAudio(docs.limit(100))).collect()
+    // real signal statistics: bounded, non-degenerate, content-dependent
+    assert(feats.forall(_.feat.forall(v => v >= 0f && v <= 1f)))
+    assert(feats.forall(_.feat(0) > 0.1f), "sinusoid mix must have real RMS")
+    assert(feats.forall(_.feat(1) > 0f), "sinusoids must cross zero")
+    assert(feats.map(_.feat.toSeq).distinct.length == feats.length,
+      "different docs must yield different audio features")
+  }
+
+  test("audio: a corrupt payload flags decode_ok=false, never kills the job") {
+    import spark.implicits._
+    val good = Multimodal.synthesizeAudio(docs.limit(3))
+    val corrupt = Seq((999999L, Array[Byte](82, 73, 70, 70, 1, 2, 3),
+        ("audio/wav", 8000, 16)))
+      .toDF("doc_id", "payload", "meta")
+      .select(col("doc_id"), col("payload"),
+        struct(col("meta._1").as("format"), col("meta._2").as("sample_rate"),
+          col("meta._3").as("n_samples")).as("meta"))
+    val feats = Multimodal.extractAudioFeatures(spark,
+      good.unionByName(corrupt)).collect()
+    assert(feats.length == 4)
+    val bad = feats.find(_.doc_id == 999999L).get
+    assert(!bad.decode_ok && bad.feat.forall(_ == 0f))
+    assert(feats.filter(_.doc_id != 999999L).forall(_.decode_ok))
   }
 
   test("multimodal: a corrupt payload flags decode_ok=false, never kills the job") {

@@ -31,8 +31,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("query"), r.getAs[String]("columns"),
         r.getAs[String]("row")))
       .groupBy(_._1)
+    // q_dedup_groups and q_chunks ALSO have DuckDB oracles; pinning their
+    // row values here as well means a DuckDB version change can never
+    // silently relax that oracle
     assert(golden.keySet == Set("q_dedup_fingerprint", "q_dedup_simhash",
-      "q_dedup_embedding", "q_lsh_buckets", "q_dedup_minhash"))
+      "q_dedup_embedding", "q_lsh_buckets", "q_dedup_minhash",
+      "q_dedup_groups", "q_chunks"))
     golden.toSeq.sortBy(_._1).foreach { case (name, rows) =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert(df.columns.mkString(",") == rows.head._2,

@@ -19,7 +19,10 @@ import sys
 import duckdb
 
 QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
-           "q_lsh_buckets", "q_dedup_minhash"]
+           "q_lsh_buckets", "q_dedup_minhash",
+           # DuckDB-oracled too; pinned so an oracle-side version change
+           # can never silently relax the check
+           "q_dedup_groups", "q_chunks"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
