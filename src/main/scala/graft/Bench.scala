@@ -46,6 +46,7 @@ object Bench {
     "q_multimodal" -> 5.0,
     "q_multimodal_audio" -> 8.0,
     "q_dedup_groups" -> 6.0,
+    "q_dedup_drop" -> 7.0,
     "q_dedup_embedding" -> 3.5)
   private val DefaultRefSec = 2.5
   private val SpikeFactor = 3.0

@@ -355,6 +355,15 @@ object SparkEntry {
       operators.Dedup.fingerprintGroups(
         t(s, dir, "documents").select("doc_id", "text"))
         .orderBy("fp")),
+    // the end-to-end near-dedup most consumers run: minhash-LSH pairs →
+    // exact-Jaccard verify → connected components → keep one canonical
+    // per cluster + all unpaired docs (signature-deterministic: golden-
+    // pinned; rows-only driver check)
+    "q_dedup_drop" -> ((s, dir) =>
+      operators.Dedup.dropNearDuplicates(
+        t(s, dir, "documents").select("doc_id", "text"), 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")),
     "q_dedup_embedding" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       // plant exact duplicates so the demo provably surfaces pairs

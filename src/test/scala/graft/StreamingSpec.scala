@@ -197,6 +197,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(out1.count() == 4, "one accepted row per distinct text")
     assert(out1.select("text").collect().map(_.getString(0)).sorted
       .sameElements(Array("alpha", "beta", "delta", "gamma")))
+    // the accepted table persists its 8-byte dedup key, and it is the
+    // real hash — later batches confirm against THIS column, never by
+    // re-hashing history text
+    assert(out1.columns.contains("_h"))
+    assert(out1.filter(col("_h") =!= xxhash64(col("text"))).count() == 0)
     // the carried state claims every accepted text
     val bloom = operators.Dedup.readBloom(s"$stateDir/history.bloom")
     assert(out1.select(xxhash64(col("text"))).collect().map(_.getLong(0))
