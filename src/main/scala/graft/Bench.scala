@@ -47,7 +47,10 @@ object Bench {
     "q_multimodal_audio" -> 8.0,
     "q_dedup_groups" -> 6.0,
     "q_dedup_drop" -> 7.0,
-    "q_dedup_embedding" -> 3.5)
+    "q_dedup_embedding" -> 3.5,
+    "q_dedup_lines" -> 6.0,
+    "q_quality_rep" -> 6.0,
+    "q_decontaminate" -> 4.0)
   private val DefaultRefSec = 2.5
   private val SpikeFactor = 3.0
   private val SpikeSlackSec = 2.0

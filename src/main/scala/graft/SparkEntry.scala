@@ -339,6 +339,32 @@ object SparkEntry {
       operators.Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
 
+    // corpus-wide duplicate-line removal (RefinedWeb/CCNet boilerplate
+    // pass over fixed 8-token lines): heavy-hitter detection shuffles
+    // only 16-byte (hash, doc_id) rows, removal is a map-side broadcast-
+    // set filter — EXACT, so DuckDB pins it end-to-end. NB constructing
+    // this runs the two cap-bounded detection collects eagerly (same
+    // caveat as q_dedup_groups).
+    "q_dedup_lines" -> ((s, dir) =>
+      operators.Dedup.dedupLinesCorpus(
+        t(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id")),
+    // Gopher-style repetition signals: most-repeated word / word-bigram
+    // per doc via exploded two-level partial aggregation (all codegen)
+    "q_quality_rep" -> ((s, dir) =>
+      operators.TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // benchmark decontamination: every doc sharing a 5-token n-gram with
+    // the planted "eval set" (doc_id % 97 = 0) is flagged; bench n-grams
+    // broadcast, only 8-byte hit ids shuffle
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      operators.Dedup.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
     // gated by OperatorsSpec) ----
@@ -776,6 +802,72 @@ object SparkEntry {
         |)
         |SELECT s AS doc_id, min(d) AS component FROM reach
         |GROUP BY s ORDER BY doc_id""".stripMargin,
+    // corpus-line dedup: the same 8-token line chunking, frequency
+    // threshold and in-order reassembly in plain SQL (list slicing is
+    // 1-based inclusive = Spark's slice(arr, start, len) element set;
+    // generate_series keeps the ≥1-line guard so both sides give every
+    // doc at least one (possibly empty) line)
+    "q_dedup_lines" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+        |           FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS line_idx,
+        |         array_to_string(w[(i*8+1):((i+1)*8)], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0,
+        |            greatest(CAST(ceil(len(w)/8.0) AS BIGINT), 1) - 1)) AS i
+        |        FROM d)),
+        |freq AS (SELECT line FROM lines GROUP BY line
+        |         HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (SELECT doc_id, line_idx, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM freq)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(line, ' ' ORDER BY line_idx) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+        |       coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_quality_rep" ->
+      """WITH wds AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM wds GROUP BY doc_id, word),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |              count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_word_n
+        |       FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w) - 1),
+        |                                i -> array_to_string(w[i:i+1], ' ')) AS grams
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |        FROM documents)),
+        |bgc AS (SELECT doc_id, gram, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(grams) AS gram FROM bg)
+        |        GROUP BY doc_id, gram),
+        |bgs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram_n
+        |        FROM bgc GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, n_distinct, max_word_n,
+        |       coalesce(max_bigram_n, 0) AS max_bigram_n,
+        |       (max_word_n * 5 <= n_words
+        |        AND coalesce(max_bigram_n, 0) * 8 <= n_words) AS ok_rep
+        |FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w) - 4),
+        |                                i -> array_to_string(w[i:i+4], ' ')) AS grams
+        |  FROM (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+        |        FROM documents)),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+        |  WHERE gram IN (SELECT gram FROM bg))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_window_rolling" ->
       """SELECT event_id, CAST(round(roll*100) AS BIGINT) AS roll_cents FROM (
         |  SELECT event_id, sum(value) OVER (PARTITION BY user_id

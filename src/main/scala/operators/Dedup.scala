@@ -467,6 +467,137 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Frequent-line sets (corpus-wide boilerplate) above this size abort
+    * loudly rather than silently truncating the removal set or melting the
+    * driver: real boilerplate is heavy-hitter-shaped (nav bars, cookie
+    * banners, license headers — a set that grows with the number of SITES,
+    * not the number of documents), so a breach means the line definition
+    * is wrong for the corpus, not that the corpus is big.
+    */
+  final val MaxFrequentLines = 1000000
+
+  /** Corpus-wide duplicate-line removal (the RefinedWeb/CCNet boilerplate
+    * pass): drop EVERY occurrence of any line that appears in more than
+    * `maxDocFreq` distinct documents, keeping each doc's remaining lines
+    * in order. "Line" = a run of `wordsPerLine` whitespace tokens
+    * (`TextAnalysis.tokenChunkLines` — the fixture corpus is single-line,
+    * so fixed-width chunking is the line policy; a newline-delimited
+    * corpus would pass `split(text, '\n')` through the same phases).
+    *
+    * Returns (doc_id, n_lines, n_kept, text_clean) for every input doc —
+    * a doc whose every line is boilerplate survives with text_clean = ''.
+    *
+    * Scale shape (the 100 TB story), mirroring incremental dedup's
+    * hash-prune + exact-confirm idiom:
+    * 1. frequent-line DETECTION shuffles only (xxhash64(line), doc_id)
+    *    pairs — 16 bytes/line, never line text — through a two-level
+    *    countDistinct;
+    * 2. the frequent HASHES (heavy hitters only: bounded by
+    *    `MaxFrequentLines`, loud on breach) prune a second scan down to
+    *    candidate lines, whose exact per-STRING doc-frequency is
+    *    recounted — a 64-bit collision can promote a line into the
+    *    candidate set but never past the exact recount;
+    * 3. the confirmed boilerplate STRINGS broadcast as a plain hash set,
+    *    and removal is a per-doc map-side array filter — the corpus text
+    *    itself is never shuffled, and docs stay whole rows throughout (no
+    *    explode/reassemble round trip).
+    * Phases 1-2 run eagerly (two collect jobs, both cap-bounded); the
+    * returned DataFrame is lazy.
+    */
+  /** Fixed-width "lines" (`k`-token chunks, space-rejoined) as a UDF: the
+    * split/filter/grouped walk is one linear pass per doc (~2 µs/doc
+    * measured), where the equivalent `transform(sequence, i -> slice)`
+    * Column form paid ~10 µs PER LINE of interpreted re-slicing. The
+    * split regex matches `regexp_extract_all(text, '\S+')` exactly (see
+    * TextAnalysis.wsTokens); an empty/null doc yields ONE empty line.
+    */
+  private def chunkLinesUdf(k: Int) = udf((t: String) => {
+    val toks = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Seq("") else toks.grouped(k).map(_.mkString(" ")).toSeq
+  })
+
+  /** Sliding whitespace-token n-grams as a UDF (same measured rationale
+    * as `chunkLinesUdf`); a doc with fewer than `n` tokens has NO n-gram.
+    */
+  private def ngramsUdf(n: Int) = udf((t: String) => {
+    val toks = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+    toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
+  })
+
+  def dedupLinesCorpus(docs: DataFrame, wordsPerLine: Int = 8,
+      maxDocFreq: Int = 2,
+      maxFrequentLines: Int = MaxFrequentLines): DataFrame = {
+    val spark = docs.sparkSession
+    val linesCol = chunkLinesUdf(wordsPerLine)(col("text"))
+    val exploded = docs.select(col("doc_id"), explode(linesCol).as("line"))
+    // phase 1: heavy-hitter hashes — 8-byte keys, the only corpus-sized
+    // shuffle in the operator
+    val freqHashes = exploded
+      .select(xxhash64(col("line")).as("_lh"), col("doc_id"))
+      .groupBy("_lh").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("_lh")
+    val hashes = freqHashes.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
+    require(hashes.length <= maxFrequentLines,
+      s"dedupLinesCorpus: > $maxFrequentLines frequent lines — the line " +
+        "definition is degenerate for this corpus (raise maxFrequentLines " +
+        "only if the boilerplate set is genuinely this large)")
+    if (hashes.isEmpty)
+      return docs.select(col("doc_id"), size(linesCol).as("n_lines"),
+        size(linesCol).as("n_kept"), concat_ws(" ", linesCol).as("text_clean"))
+    // phase 2: exact recount per candidate STRING (hash hits only — a
+    // sliver of the corpus), rescuing 64-bit collisions
+    val hashSet = spark.sparkContext.broadcast(hashes.toSet)
+    val hashHit = udf((h: Long) => hashSet.value.contains(h))
+    val freqLines = exploded
+      .filter(hashHit(xxhash64(col("line"))))
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .limit(maxFrequentLines + 1)
+      .collect().map(_.getString(0))
+    require(freqLines.length <= maxFrequentLines,
+      s"dedupLinesCorpus: > $maxFrequentLines confirmed frequent lines")
+    // phase 3: map-side removal — one broadcast set probe per line, doc
+    // rows never shuffle
+    val freqSet = spark.sparkContext.broadcast(freqLines.toSet)
+    val keepLines = udf((lines: Seq[String]) =>
+      lines.filterNot(freqSet.value.contains))
+    docs
+      .select(col("doc_id"), linesCol.as("_lines"))
+      .withColumn("_kept", keepLines(col("_lines")))
+      .select(col("doc_id"), size(col("_lines")).as("n_lines"),
+        size(col("_kept")).as("n_kept"),
+        concat_ws(" ", col("_kept")).as("text_clean"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap scan):
+    * flag every corpus doc that shares at least one `n`-word-token n-gram
+    * with any document of `bench` (the held-out eval set). Returns
+    * (doc_id, contaminated) for every doc in `docs`.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized — its distinct
+    * n-gram set broadcasts — so the corpus side explodes its n-grams
+    * map-side into a broadcast LEFT SEMI probe and only 8-byte doc_ids
+    * reach the one real shuffle (the distinct on hit ids). Corpus text is
+    * scanned once and never shuffled; a no-hit partition emits nothing.
+    * A doc with fewer than `n` tokens has no n-gram and is trivially
+    * clean. Drop-vs-flag is the caller's choice: `docs.join(hits,
+    * "left_anti")` drops, this returns flags so audits can count
+    * contamination by source first.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    def grams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), explode(ngramsUdf(n)(col("text"))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("_hit", lit(true))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("contaminated"))
+  }
+
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket

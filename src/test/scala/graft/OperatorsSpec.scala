@@ -377,6 +377,120 @@ class OperatorsSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
+  // ---- corpus-line dedup / repetition signals / decontamination ----
+
+  /** Plain-Scala mirrors of the tokenization the operators use. */
+  private def wsToks(t: String): Seq[String] =
+    t.split("\\s+").filter(_.nonEmpty).toSeq
+  private def chunkLines(toks: Seq[String], k: Int): Seq[String] =
+    if (toks.isEmpty) Seq("") else toks.grouped(k).map(_.mkString(" ")).toSeq
+  private def ngrams(toks: Seq[String], n: Int): Seq[String] =
+    toks.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
+
+  test("dedupLinesCorpus == a plain-Scala doc-frequency oracle on the fixture") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docLines = rows.map { case (id, t) => id -> chunkLines(wsToks(t), 8) }
+    val df = docLines.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val boiler = df.collect { case (l, n) if n > 2 => l }.toSet
+    assert(boiler.nonEmpty, "fixture+clones must yield frequent lines")
+    val expected = docLines.map { case (id, ls) =>
+      val kept = ls.filterNot(boiler.contains)
+      (id, ls.size, kept.size, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = Dedup.dedupLinesCorpus(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(got == expected)
+    // the exact clones' shared lines hit df ≥ 3 (base + exact + near dup
+    // share the prefix lines) — so removal genuinely fired somewhere
+    assert(expected.exists { case (_, nl, nk, _) => nk < nl },
+      "no line was removed — planted duplicates should create boilerplate")
+  }
+
+  test("dedupLinesCorpus: planted boilerplate is removed everywhere, order kept") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = Seq(
+      (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h"),
+      (2L, s"u2a u2b u2c u2d u2e u2f u2g u2h $boiler"),
+      (3L, boiler), // all-boilerplate doc must survive as an empty row
+      (4L, s"$boiler $boiler"), // repeated within one doc: both go
+      (5L, "u5a u5b u5c u5d u5e u5f u5g u5h")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesCorpus(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 1, "u1a u1b u1c u1d u1e u1f u1g u1h"),
+      (2L, 2, 1, "u2a u2b u2c u2d u2e u2f u2g u2h"),
+      (3L, 1, 0, ""),
+      (4L, 2, 0, ""),
+      (5L, 1, 1, "u5a u5b u5c u5d u5e u5f u5g u5h")))
+  }
+
+  test("dedupLinesCorpus: a breached frequent-line cap fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupLinesCorpus(docs, maxFrequentLines = 0)
+    }
+    assert(e.getMessage.contains("frequent lines"))
+  }
+
+  test("repetitionSignals == a plain-Scala word/bigram-mode oracle") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = rows.flatMap { case (id, t) =>
+      val w = t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      if (w.isEmpty) None
+      else {
+        val wc = w.groupBy(identity).view.mapValues(_.size.toLong)
+        val bg = ngrams(w, 2).groupBy(identity).view.mapValues(_.size.toLong)
+        val (nw, nd, mw) = (w.size.toLong, wc.size.toLong, wc.values.max)
+        val mb = if (bg.isEmpty) 0L else bg.values.max
+        Some((id, nw, nd, mw, mb, mw * 5 <= nw && mb * 8 <= nw))
+      }
+    }.sortBy(_._1)
+    val got = operators.TextAnalysis.repetitionSignals(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // a spam-shaped doc must flip ok_rep without touching the corpus rows
+    import spark.implicits._
+    val spam = Seq((999L, ("buy now " * 30).trim)).toDF("doc_id", "text")
+    val flags = operators.TextAnalysis.repetitionSignals(spam).collect()
+    assert(flags.length == 1 && !flags(0).getBoolean(5),
+      "a 30x-repeated bigram must fail ok_rep")
+    // edge: a single-word doc has no bigram → max_bigram_n = 0, present
+    val one = operators.TextAnalysis.repetitionSignals(
+      Seq((1L, "solo")).toDF("doc_id", "text")).collect()
+    assert(one.length == 1 && one(0).getLong(4) == 0L)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the bench set") {
+    import spark.implicits._
+    val bench = Seq((100L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x1 x2 s2 s3 s4 s5 s6 x3"), // shares 5-gram s2..s6 → flagged
+      (2L, "s1 s2 s3 s4 z9 z8 z7 z6"), // only a 4-gram overlap → clean
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8"),
+      (4L, "s2 s3 s4")).toDF("doc_id", "text") // < 5 tokens: no gram → clean
+    val got = Dedup.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+    // and against a plain-Scala oracle on the fixture: bench = the exact
+    // clones' originals, so every clone (and the original itself) is hot
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val benchSet = rows.filter(_._1 < 5)
+    val benchGrams = benchSet.flatMap(r => ngrams(wsToks(r._2), 5)).toSet
+    val expected = rows.map { case (id, t) =>
+      (id, ngrams(wsToks(t), 5).exists(benchGrams.contains))
+    }.sortBy(_._1)
+    val benchDf = docs.filter(col("doc_id") < 5)
+    val got2 = Dedup.decontaminate(docs, benchDf).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got2 == expected)
+    assert(expected.count(_._2) >= 10,
+      "clones of bench docs must be flagged") // 5 originals + 5 exact clones
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
