@@ -50,7 +50,9 @@ object Bench {
     "q_dedup_embedding" -> 3.5,
     "q_dedup_lines" -> 6.0,
     "q_quality_rep" -> 6.0,
-    "q_decontaminate" -> 4.0)
+    "q_decontaminate" -> 4.0,
+    "q_mix_plan" -> 3.0,
+    "q_dsir" -> 6.0)
   private val DefaultRefSec = 2.5
   private val SpikeFactor = 3.0
   private val SpikeSlackSec = 2.0

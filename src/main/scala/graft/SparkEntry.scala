@@ -364,6 +364,31 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy("doc_id")
     }),
+    // corpus-mixing plan: per-source whitespace-token counts →
+    // α=0.5-tempered weights → 100k-token budget targets and sampling
+    // rates; doubles exported ppm-rounded so the DuckDB compare is exact
+    "q_mix_plan" -> ((s, dir) =>
+      operators.Sampling.mixingPlan(
+        t(s, dir, "documents"), "source",
+        size(operators.TextAnalysis.wsTokens(col("text"))),
+        alpha = 0.5, budgetTokens = 100000L)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("weight") * 1000000).cast("long").as("weight_ppm"),
+          col("target_tokens"),
+          round(col("rate") * 1000000).cast("long").as("rate_ppm"))
+        .orderBy("source")),
+    // DSIR-style importance scores: raw corpus = doc_id % 7 ≠ 0, target
+    // distribution = doc_id % 7 = 0; per-doc mean log-likelihood ratio
+    // exported micro-rounded
+    "q_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      operators.Importance.importanceScores(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(7)) === 0))
+        .select(col("doc_id"), col("n_words"),
+          round(col("score") * 1000000).cast("long").as("score_u"))
+        .orderBy("doc_id")
+    }),
 
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
@@ -868,6 +893,50 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // mixing plan: same α=0.5 tempering, 100k budget, round-then-rate
+    // order (rate uses the ROUNDED target, as the Spark side does)
+    "q_mix_plan" ->
+      """WITH d AS (SELECT source,
+        |             len(regexp_extract_all(coalesce(text, ''), '\S+')) AS nt
+        |           FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(nt) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY source),
+        |p AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        |t AS (SELECT sum(pw) AS spw FROM p),
+        |x AS (SELECT source, n_docs, n_tokens,
+        |             CAST(round(pw / spw * 1000000) AS BIGINT) AS weight_ppm,
+        |             CAST(round(pw / spw * 100000) AS BIGINT) AS target_tokens
+        |      FROM p, t)
+        |SELECT source, n_docs, n_tokens, weight_ppm, target_tokens,
+        |       CAST(round(least(1.0,
+        |         CAST(target_tokens AS DOUBLE) / n_tokens) * 1000000)
+        |         AS BIGINT) AS rate_ppm
+        |FROM x ORDER BY source""".stripMargin,
+    // DSIR importance: add-one-smoothed unigram log-likelihood ratio over
+    // the union vocabulary, averaged per doc occurrence
+    "q_dsir" ->
+      """WITH dwords AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS word
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |twords AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS word
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |rcnt AS (SELECT word, count(*) AS rc FROM dwords GROUP BY word),
+        |tcnt AS (SELECT word, count(*) AS tc FROM twords GROUP BY word),
+        |vocab AS (SELECT coalesce(rcnt.word, tcnt.word) AS word,
+        |                 coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+        |          FROM rcnt FULL JOIN tcnt ON rcnt.word = tcnt.word),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS R,
+        |               CAST(sum(tc) AS BIGINT) AS T,
+        |               count(*) AS V FROM vocab),
+        |w AS (SELECT word, ln((tc + 1.0) / (T + V)) - ln((rc + 1.0) / (R + V)) AS w
+        |      FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_words,
+        |       CAST(round(avg(w) * 1000000) AS BIGINT) AS score_u
+        |FROM dwords JOIN w USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_window_rolling" ->
       """SELECT event_id, CAST(round(roll*100) AS BIGINT) AS roll_cents FROM (
         |  SELECT event_id, sum(value) OVER (PARTITION BY user_id

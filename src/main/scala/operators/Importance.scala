@@ -1,0 +1,97 @@
+package operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-selection importance scoring (the DSIR idea, Xie et al. 2023):
+  * score each raw-corpus document by how much its word distribution looks
+  * like a TARGET corpus rather than the raw corpus itself — the per-doc
+  * average log-likelihood ratio under add-one-smoothed unigram models of
+  * the two corpora. Positive score = target-like (keep / up-rank);
+  * selection on the score is the caller's policy (threshold, top-k, or
+  * weighted sampling via `Sampling.applyMixingPlan`-style rates).
+  */
+object Importance {
+
+  /** Exact word-level importance scores.
+    *
+    * Model: over the union vocabulary V of both corpora, with raw counts
+    * rc(w) (total R) and target counts tc(w) (total T),
+    * `p_t(w) = (tc(w)+1)/(T+|V|)`, `p_r(w) = (rc(w)+1)/(R+|V|)`, and a
+    * doc's score is the mean over its word occurrences of
+    * `ln p_t(w) − ln p_r(w)`. Docs with zero word tokens drop out (no
+    * evidence either way — same convention as
+    * `TextAnalysis.repetitionSignals`). Every doc word is in V by
+    * construction, so the weight join is inner with no loss.
+    *
+    * Returns (doc_id, n_words, score).
+    *
+    * Scale shape: two word-count hash aggregates (map-side combine eats
+    * per-partition repeats), a vocab-sized full join to build the weight
+    * table, a one-row broadcast cross join for the totals, then the
+    * scoring join keyed on the word — the weight table is vocab-sized
+    * (≪ corpus; AQE picks broadcast when it fits). When even the vocab is
+    * too large to be a comfortable join side, use
+    * `importanceScoresHashed` — a fixed-size feature space is the actual
+    * DSIR construction.
+    */
+  def importanceScores(docs: DataFrame, target: DataFrame): DataFrame = {
+    val dw = docs.select(col("doc_id"),
+      explode(TextAnalysis.wordTokens(col("text"))).as("word"))
+    val tw = target.select(
+      explode(TextAnalysis.wordTokens(col("text"))).as("word"))
+    val rc = dw.groupBy("word").agg(count(lit(1)).as("rc"))
+    val tc = tw.groupBy("word").agg(count(lit(1)).as("tc"))
+    val vocab = rc.join(tc, Seq("word"), "full")
+      .select(col("word"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val tot = vocab.agg(sum("rc").as("_R"), sum("tc").as("_T"),
+      count(lit(1)).as("_V"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (log((col("tc") + 1).cast("double")
+            / (col("_T") + col("_V")).cast("double"))
+          - log((col("rc") + 1).cast("double")
+            / (col("_R") + col("_V")).cast("double"))).as("_w"))
+    dw.join(weights, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), avg("_w").as("score"))
+  }
+
+  /** Hashed-feature importance scores — the production-scale DSIR shape:
+    * words map to `numBuckets` hashed features before counting, so the
+    * weight table is a FIXED-SIZE broadcast (numBuckets rows, e.g. 2^16 ≈
+    * 1 MB) regardless of corpus vocabulary, and the scoring join never
+    * shuffles. Hash collisions merge word statistics (the documented DSIR
+    * trade: a bounded-memory estimator of the same ratio); scores are
+    * deterministic and partition-invariant but not equal to the exact
+    * word-level scores.
+    */
+  def importanceScoresHashed(docs: DataFrame, target: DataFrame,
+      numBuckets: Int = 1 << 16): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    def feats(d: DataFrame, cols: Seq[String]): DataFrame =
+      d.select(cols.map(col) :+
+          explode(TextAnalysis.wordTokens(col("text"))).as("_word"): _*)
+        .select(cols.map(col) :+
+          pmod(xxhash64(col("_word")), lit(numBuckets.toLong)).as("feat"): _*)
+    val dw = feats(docs, Seq("doc_id"))
+    val rc = dw.groupBy("feat").agg(count(lit(1)).as("rc"))
+    val tc = feats(target, Seq.empty)
+      .groupBy("feat").agg(count(lit(1)).as("tc"))
+    val vocab = rc.join(tc, Seq("feat"), "full")
+      .select(col("feat"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val tot = vocab.agg(sum("rc").as("_R"), sum("tc").as("_T"),
+      count(lit(1)).as("_V"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("feat"),
+        (log((col("tc") + 1).cast("double")
+            / (col("_T") + col("_V")).cast("double"))
+          - log((col("rc") + 1).cast("double")
+            / (col("_R") + col("_V")).cast("double"))).as("_w"))
+    dw.join(broadcast(weights), Seq("feat"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), avg("_w").as("score"))
+  }
+}

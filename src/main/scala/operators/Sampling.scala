@@ -64,6 +64,60 @@ object Sampling {
     * reproducible run-over-run (the property `DataFrame.sample` +
     * `union` cannot give you).
     */
+  /** Derive a corpus-mixing plan from the corpus itself: per-source token
+    * counts → temperature-weighted sampling targets. `weight_s =
+    * n_tokens_s^alpha / Σ n_tokens^alpha` (alpha = 1 keeps natural
+    * proportions, alpha = 0 is uniform over sources, the usual 0 < α < 1
+    * up-weights small sources the way multilingual/LLM mixes do), then
+    * `target_tokens_s = round(weight_s · budgetTokens)` and `rate_s =
+    * min(1, target/n_tokens)` — a pure DOWNSAMPLING plan: a source whose
+    * target exceeds its actual size keeps rate 1 (upsampling is `remix`'s
+    * job, deliberately a separate decision).
+    *
+    * Returns one row per source: (source, n_docs, n_tokens, weight,
+    * target_tokens, rate).
+    *
+    * Scale shape: one hash aggregate over (source, count, sum) — 16-byte
+    * partial rows with map-side combine — then the normalization rides a
+    * one-row broadcast cross join. The plan itself is sources-sized
+    * (domains, not documents) and broadcast-joinable downstream.
+    */
+  def mixingPlan(docs: DataFrame, sourceCol: String, tokensCol: Column,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha out of [0,1]: $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+      .withColumn("_pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val tot = perSource.agg(sum("_pw").as("_spw"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("weight", col("_pw") / col("_spw"))
+      .withColumn("target_tokens",
+        round(col("weight") * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens")))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate"))
+  }
+
+  /** Apply a `mixingPlan` (or any (source, rate) table): keep the stable
+    * bottom `rate` slice of `keyCol`'s hash buckets per source — same
+    * run-over-run reproducibility as `deterministicSample`, with its own
+    * purpose salt so the mix is uncorrelated with split/sample/remix
+    * selections. Sources absent from the plan keep rate 1. The plan joins
+    * as a broadcast (sources-sized), the filter is a pure projection —
+    * zero shuffle.
+    */
+  def applyMixingPlan(docs: DataFrame, plan: DataFrame, sourceCol: String,
+      keyCol: String): DataFrame =
+    docs.join(broadcast(plan.select(col(sourceCol), col("rate"))),
+        Seq(sourceCol), "left")
+      .withColumn("_rate", coalesce(col("rate"), lit(1.0)))
+      .filter(hashBucket(col(keyCol), "mix")
+        < round(col("_rate") * Buckets).cast("long"))
+      .drop("rate", "_rate")
+
   def remix(df: DataFrame, groupCol: String, keyCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 100),

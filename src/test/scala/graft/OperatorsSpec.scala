@@ -491,6 +491,155 @@ class OperatorsSpec extends AnyFunSuite {
       "clones of bench docs must be flagged") // 5 originals + 5 exact clones
   }
 
+  // ---- corpus mixing plan / DSIR importance scores ----
+
+  test("mixingPlan == a plain-Scala mirror on the fixture sources") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = raw.select("source", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    val stats = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.size.toLong, rs.map(r => wsToks(r._2).size.toLong).sum)
+    }.toMap
+    val spw = stats.values.map(v => math.pow(v._2.toDouble, 0.5)).sum
+    val expected = stats.toSeq.sortBy(_._1).map { case (s, (nd, nt)) =>
+      val w = math.pow(nt.toDouble, 0.5) / spw
+      val target = math.round(w * 100000.0)
+      val rate = math.min(1.0, target.toDouble / nt)
+      (s, nd, nt, math.round(w * 1e6), target, math.round(rate * 1e6))
+    }
+    val got = operators.Sampling.mixingPlan(raw, "source",
+        size(operators.TextAnalysis.wsTokens(col("text"))), 0.5, 100000L)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("weight") * 1000000).cast("long"),
+        col("target_tokens"), round(col("rate") * 1000000).cast("long"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // weights are a distribution: ppm values sum to ~1e6
+    assert(math.abs(got.map(_._4).sum - 1000000L) <= got.size)
+  }
+
+  test("mixingPlan limits: alpha=1 is proportional, full budget keeps rate 1") {
+    import spark.implicits._
+    val d = (Seq.fill(60)("big") ++ Seq.fill(30)("mid") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "w1 w2 w3 w4 w5") }
+      .toDF("doc_id", "source", "text")
+    val tokens = size(operators.TextAnalysis.wsTokens(col("text")))
+    // alpha=1, budget = exactly the corpus (500 tokens): natural
+    // proportions, every source keeps everything
+    val nat = operators.Sampling.mixingPlan(d, "source", tokens, 1.0, 500L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    assert(nat("big") == (300L, 300L, 1.0))
+    assert(nat("small") == (50L, 50L, 1.0))
+    // alpha=0: uniform weights regardless of size
+    val uni = operators.Sampling.mixingPlan(d, "source", tokens, 0.0, 90L)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(uni.values.forall(w => math.abs(w - 1.0 / 3) < 1e-12))
+  }
+
+  test("applyMixingPlan: deterministic, rate-1 intact, sampled near target") {
+    import spark.implicits._
+    val d = (0L until 4000L).map { i =>
+      (i, if (i < 3600) "big" else "rare", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    }.toDF("doc_id", "source", "text")
+    val tokens = size(operators.TextAnalysis.wsTokens(col("text")))
+    // α=0.5 with a 16k budget: weights are exactly 3/4 vs 1/4 (√36000 =
+    // 3·√4000), so "rare" (4k tokens) gets target 4000 = rate 1 and
+    // "big" (36k tokens) is downsampled to 12k of its tokens (rate 1/3)
+    val plan = operators.Sampling.mixingPlan(d, "source", tokens, 0.5, 16000L)
+    val rates = plan.collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(rates("rare")._2 == 1.0, s"rare must keep rate 1: $rates")
+    assert(rates("big")._2 < 0.4, s"big must be heavily downsampled: $rates")
+    val kept = operators.Sampling.applyMixingPlan(d, plan, "source", "doc_id")
+    val again = operators.Sampling.applyMixingPlan(d, plan, "source", "doc_id")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySource("rare") == 400L, "rate-1 source must survive whole")
+    val wantBig = rates("big")._2 * 3600
+    assert(math.abs(bySource("big") - wantBig) < 0.05 * 3600,
+      s"big kept ${bySource("big")} vs target $wantBig")
+    // a source missing from the plan is passed through untouched
+    val noPlan = operators.Sampling.applyMixingPlan(
+      d, plan.filter(col("source") =!= "rare"), "source", "doc_id")
+    assert(noPlan.filter(col("source") === "rare").count() == 400L)
+  }
+
+  test("importanceScores == a plain-Scala smoothed log-ratio oracle") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def words(t: String): Seq[String] =
+      t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val corpus = rows.filter(_._1 % 7 != 0)
+    val target = rows.filter(_._1 % 7 == 0)
+    val rc = corpus.flatMap(r => words(r._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tc = target.flatMap(r => words(r._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = rc.keySet ++ tc.keySet
+    val (rTot, tTot, v) = (rc.values.sum, tc.values.sum, vocab.size.toLong)
+    def wgt(w: String): Double =
+      math.log((tc.getOrElse(w, 0L) + 1.0) / (tTot + v)) -
+        math.log((rc.getOrElse(w, 0L) + 1.0) / (rTot + v))
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = words(t)
+      if (ws.isEmpty) None
+      else Some((id, ws.size.toLong, ws.map(wgt).sum / ws.size))
+    }.sortBy(_._1).toSeq
+    val got = operators.Importance.importanceScores(
+        raw.filter(col("doc_id") % 7 =!= 0), raw.filter(col("doc_id") % 7 === 0))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => (g._1, g._2)) == expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+  }
+
+  test("importanceScores: target-like docs score above off-target docs") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "alpha gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // pure target vocabulary
+      (2L, "zeta eta theta iota"), // disjoint vocabulary
+      (3L, "alpha beta zeta eta")).toDF("doc_id", "text") // mixed
+    val s = operators.Importance.importanceScores(corpus, target)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(s(1L) > s(3L) && s(3L) > s(2L), s"ordering wrong: $s")
+    assert(s(1L) > 0 && s(2L) < 0, s"signs wrong: $s")
+    // the hashed variant with a huge bucket space sees no collisions on
+    // this vocabulary, so it reproduces the exact scores
+    val h = operators.Importance.importanceScoresHashed(corpus, target, 1 << 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    s.foreach { case (id, sc) =>
+      assert(math.abs(h(id) - sc) < 1e-9, s"hashed($id)=${h(id)} vs exact $sc")
+    }
+  }
+
+  test("importanceScoresHashed: deterministic and partition-invariant") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = raw.filter(col("doc_id") % 7 =!= 0)
+    val target = raw.filter(col("doc_id") % 7 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      operators.Importance.importanceScoresHashed(c, target, 1 << 16)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run(corpus.repartition(3))
+    val b = run(corpus.repartition(11))
+    assert(a.map(x => (x._1, x._2)) == b.map(x => (x._1, x._2)))
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x._3 - y._3) < 1e-12) }
+    assert(a.nonEmpty)
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))

@@ -77,9 +77,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // sweep EVERY driver-contract query's plan; a cartesian product that
     // appears anywhere else is a planning regression that would be fatal
     // at scale. BroadcastNestedLoopJoin is tolerated only where a non-equi
-    // broadcast join is the intended design (brute-force/IVF ANN probe
-    // and the cross-join demo itself).
-    val bnljAllowed = Set("q_join_cross", "q_knn_brute", "q_knn_ivf")
+    // broadcast join is the intended design (brute-force/IVF ANN probe,
+    // the cross-join demo itself, and the ONE-ROW broadcast totals that
+    // normalize the mixing plan and the DSIR weight table — a 1-row
+    // broadcast NLJ is the cheapest possible way to attach a scalar).
+    val bnljAllowed = Set("q_join_cross", "q_knn_brute", "q_knn_ivf",
+      "q_mix_plan", "q_dsir")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val txt = formatted(fn(spark, sf))
