@@ -390,6 +390,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source document cap: top-5 docs per source by (n_chars DESC,
+    // doc_id ASC) via the bounded-heap TopKByScore agg — each task ships
+    // ≤ k entries per source, no window funnel; DuckDB row_number oracle
+    "q_source_cap" -> ((s, dir) =>
+      operators.Sampling.capPerSource(
+        t(s, dir, "documents"), "source",
+        col("n_chars").cast("double"), "doc_id", 5)
+        .orderBy("source", "rank")),
+
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
     // gated by OperatorsSpec) ----
@@ -423,6 +432,18 @@ object SparkEntry {
       operators.Similarity.embeddingNearDuplicates(planted, 0.95)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("doc_a", "doc_b")
+    }),
+    // SemDeDup-style semantic dedup end-to-end: LSH cosine pairs at 0.95
+    // → connected components → one canonical per group; survivor set is
+    // plane-deterministic (golden-pinned; rows-only driver check). Same
+    // planted duplicates as q_dedup_embedding so removal provably fires.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      operators.Similarity.dropSemanticDuplicates(planted, 0.95)
+        .select("vec_id")
+        .orderBy("vec_id")
     }),
     "q_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -913,6 +934,16 @@ object SparkEntry {
         |         CAST(target_tokens AS DOUBLE) / n_tokens) * 1000000)
         |         AS BIGINT) AS rate_ppm
         |FROM x ORDER BY source""".stripMargin,
+    // per-source cap: row_number mirrors TopKByScore's ranking order
+    // (score DESC, id ASC) exactly
+    "q_source_cap" ->
+      """SELECT source, rank, doc_id, score FROM (
+        |  SELECT source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // DSIR importance: add-one-smoothed unigram log-likelihood ratio over
     // the union vocabulary, averaged per doc occurrence
     "q_dsir" ->

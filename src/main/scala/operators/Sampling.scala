@@ -118,6 +118,29 @@ object Sampling {
         < round(col("_rate") * Buckets).cast("long"))
       .drop("rate", "_rate")
 
+  /** Per-source document cap (the "no domain dominates the corpus" pass):
+    * keep at most `k` documents per source, ranked by (`score` DESC,
+    * `idCol` ASC). Returns one row per kept doc: (source, rank 1-based,
+    * id, score) — callers wanting full rows semi-join back on the 8-byte
+    * ids.
+    *
+    * Deliberately NOT `row_number().over(partitionBy(source))`: the window
+    * shuffles EVERY document of a source to one reducer before ranking —
+    * on a web corpus where one domain is 10% of 100 TB, that is 10 TB
+    * through a single partition. `TopKByScore` (the same bounded-heap
+    * TypedImperativeAggregate the ANN path uses) gets map-side combine,
+    * so each task ships at most k 16-byte (score, id) entries per source
+    * and the reducer merges k-sized buffers — the skewed-domain cost is
+    * O(tasks · k), independent of the domain's row count.
+    */
+  def capPerSource(docs: DataFrame, sourceCol: String, score: Column,
+      idCol: String, k: Int): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(TopKByScore(score.cast("double"), col(idCol), k).as("_top"))
+      .select(col(sourceCol), posexplode(col("_top")))
+      .select(col(sourceCol), (col("pos") + lit(1L)).as("rank"),
+        col("col.id").as(idCol), col("col.score").as("score"))
+
   def remix(df: DataFrame, groupCol: String, keyCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 100),

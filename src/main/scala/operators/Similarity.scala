@@ -295,6 +295,32 @@ object Similarity {
       .select("doc_a", "doc_b", "cos")
   }
 
+  /** SemDeDup-style semantic dedup, end-to-end (the embedding analog of
+    * `Dedup.dropNearDuplicates`): cosine-near-duplicate PAIRS from the
+    * banded hyperplane LSH → duplicate GROUPS via connected components →
+    * keep each group's min-vec_id canonical plus every unpaired vector.
+    *
+    * Candidate generation is the banded LSH, NOT the paper's
+    * within-k-means-cluster all-pairs: all-pairs inside a cluster is
+    * O((corpus/C)²) per cluster — quadratic in corpus size at fixed C —
+    * while the banded buckets bound pair work per bucket (MaxBucket,
+    * drops observable via `embeddingBucketStats`) and recall for
+    * cosine-θ pairs is the measured 1-(1-(1-θ/π)^bits)^tables. The
+    * pruning decision (one canonical per semantic cluster) is exactly
+    * SemDeDup's. Non-survivors are component-members-minus-canonicals —
+    * broadcast-sized at realistic dup rates — removed by one anti-join
+    * on 8-byte vec_ids; embeddings never join into the decision path.
+    */
+  def dropSemanticDuplicates(corpus: DataFrame, tau: Double,
+      tables: Int = Tables, bits: Int = Bits, dim: Int = 64): DataFrame = {
+    val losers = Dedup.connectedComponents(
+      embeddingNearDuplicates(corpus, tau, tables, bits, dim)
+        .select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    corpus.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** MaxBucket-cap observability for the embedding-LSH tier (the "no silent
     * caps" rule): n_buckets / n_capped / max_bucket over the banded keys.
     */

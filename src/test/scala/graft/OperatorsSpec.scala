@@ -377,6 +377,64 @@ class OperatorsSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
+  test("capPerSource == the window row_number oracle, ties and skew included") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val got = operators.Sampling.capPerSource(d, "source",
+        col("n_chars").cast("double"), "doc_id", 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val want = d.select(col("source"),
+        row_number().over(w).cast("long").as("rank"),
+        col("doc_id"), col("n_chars").cast("double").as("score"))
+      .filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(got.groupBy(_._1).values.forall(_.size <= 5))
+    // explicit tie: equal scores rank by doc_id ASC, deterministically
+    import spark.implicits._
+    val tied = Seq((3L, "a", 10L), (1L, "a", 10L), (2L, "a", 10L),
+      (4L, "b", 7L)).toDF("doc_id", "source", "n_chars")
+    val capped = operators.Sampling.capPerSource(tied, "source",
+        col("n_chars").cast("double"), "doc_id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L)))
+  }
+
+  test("dropSemanticDuplicates keeps one canonical per semantic cluster") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.unionByName(base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val kept = Similarity.dropSemanticDuplicates(planted, 0.95).cache()
+    try {
+      val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+      // a planted exact clone can never be its cluster's min id
+      (0L until 10L).foreach { i =>
+        assert(!keptIds.contains(i + 100000), s"exact clone of $i survived")
+      }
+      // survivors == all - (union-find losers over the verified pair set)
+      val pairs = Similarity.embeddingNearDuplicates(planted, 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val losers = members.filter(m => find(m) != m)
+      val allIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds == allIds -- losers)
+    } finally kept.unpersist()
+  }
+
   // ---- corpus-line dedup / repetition signals / decontamination ----
 
   /** Plain-Scala mirrors of the tokenization the operators use. */

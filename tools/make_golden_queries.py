@@ -23,8 +23,8 @@ QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
            # DuckDB-oracled too; pinned so an oracle-side version change
            # can never silently relax the check
            "q_dedup_groups", "q_chunks",
-           # end-to-end near-dedup (signature-deterministic survivor set)
-           "q_dedup_drop"]
+           # end-to-end near-dedup (signature-deterministic survivor sets)
+           "q_dedup_drop", "q_semdedup"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
