@@ -407,6 +407,16 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), 0.8)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_a", "doc_b")),
+    // fuzzy (minhash-Jaccard) decontamination against the same planted
+    // eval split as q_decontaminate — catches paraphrased leakage exact
+    // n-grams miss (signature-deterministic: golden-pinned)
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      operators.Dedup.decontaminateFuzzy(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), 0.8)
+        .orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       operators.Dedup.simhashDuplicates(
         t(s, dir, "documents").select("doc_id", "text"), 3)

@@ -598,6 +598,46 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("contaminated"))
   }
 
+  /** Fuzzy cross-corpus decontamination: flag every corpus doc whose
+    * shingle-Jaccard with ANY document of `bench` (the held-out eval set)
+    * is ≥ `tau` — the paraphrase-robust complement to `decontaminate`'s
+    * exact n-gram overlap (a reworded eval item shares few exact 5-grams
+    * but keeps high shingle Jaccard). Returns (doc_id, contaminated) for
+    * every doc in `docs`.
+    *
+    * Scale shape, same contract as `decontaminate` (bench is
+    * eval-suite-sized): the bench side's minhash band keys AND shingle
+    * sets broadcast; corpus band keys probe the broadcast map-side, so
+    * candidate (doc_id, bench_id) pairs are generated without shuffling
+    * text; only candidate ids prune the corpus shingle scan (LEFT SEMI on
+    * 8-byte ids) and the exact-Jaccard verify touches the pruned sliver.
+    * Recall follows the minhash banding curve (an exact clone of a bench
+    * doc agrees on every band and can never be missed); precision is
+    * exact — every flag is a verified true-Jaccard ≥ tau.
+    */
+  def decontaminateFuzzy(docs: DataFrame, bench: DataFrame,
+      tau: Double): DataFrame = {
+    val benchKeys = bench.select(col("doc_id").as("bench_id"),
+      explode(bandKeysUdf(col("text"))).as("band_key"))
+    val cand = minhashKeys(docs)
+      .join(broadcast(benchKeys), Seq("band_key"))
+      .select("doc_id", "bench_id").distinct()
+    val docSh = docs
+      .join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh_a"))
+    val benchSh = bench.select(col("doc_id").as("bench_id"),
+      shinglesUdf(col("text")).as("sh_b"))
+    val hits = cand
+      .join(docSh, "doc_id")
+      .join(broadcast(benchSh), "bench_id")
+      .filter(jaccardUdf(col("sh_a"), col("sh_b")) >= tau)
+      .select("doc_id").distinct()
+      .withColumn("_hit", lit(true))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("contaminated"))
+  }
+
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket

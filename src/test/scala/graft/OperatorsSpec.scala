@@ -698,6 +698,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("decontaminateFuzzy == the plain-Scala band∧Jaccard mirror; catches paraphrase") {
+    import core.Shingles
+    import spark.implicits._
+    // a paraphrase (one mid-doc word swapped) keeps shingle Jaccard ≈ 0.85
+    // but shares few exact 5-grams — the case `decontaminate` misses
+    val words = (1 to 40).map(i => s"w$i")
+    val benchText = words.mkString(" ")
+    val para = words.updated(20, "SWAPPED").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq((1L, para), (2L, far)).toDF("doc_id", "text")
+    val got = Dedup.decontaminateFuzzy(corpus, bench, 0.7)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((1L, true), (2L, false)))
+
+    // fixture-level EXACT mirror: flag ⟺ (shares a minhash band with some
+    // bench doc) ∧ (true shingle-Jaccard ≥ tau) — same signatures, no
+    // approximation gap between operator and oracle
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val benchRows = rows.filter(_._1 < 5)
+    def bands(t: String): Set[Long] = Shingles.bandKeys(
+      Shingles.minhashSignature(Shingles.wordShingles(t, Dedup.ShingleN),
+        Dedup.MinhashK), Dedup.Bands, Dedup.Rows).toSet
+    val benchBands = benchRows.map { case (id, t) => (id, bands(t)) }
+    val benchSh = benchRows.map { case (id, t) =>
+      (id, Shingles.wordShingles(t, Dedup.ShingleN)) }
+    val expected = rows.map { case (id, t) =>
+      val b = bands(t)
+      val sh = Shingles.wordShingles(t, Dedup.ShingleN)
+      val hit = benchBands.exists { case (bid, bb) =>
+        b.exists(bb.contains) &&
+          Shingles.jaccard(sh,
+            benchSh.find(_._1 == bid).get._2) >= 0.8
+      }
+      (id, hit)
+    }.sortBy(_._1)
+    val benchDf = docs.filter(col("doc_id") < 5)
+    val got2 = Dedup.decontaminateFuzzy(docs, benchDf, 0.8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got2 == expected)
+    // exact clones of bench docs agree on every band — can never be missed
+    assert(expected.count(_._2) >= 10, "bench originals + their exact clones")
+  }
+
   test("simhash: exact duplicates have hamming 0") {
     val dupPair = docs.groupBy("text")
       .agg(sort_array(collect_list("doc_id")).as("ids"))

@@ -36,7 +36,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // silently relax that oracle
     assert(golden.keySet == Set("q_dedup_fingerprint", "q_dedup_simhash",
       "q_dedup_embedding", "q_lsh_buckets", "q_dedup_minhash",
-      "q_dedup_groups", "q_chunks", "q_dedup_drop", "q_semdedup"))
+      "q_dedup_groups", "q_chunks", "q_dedup_drop", "q_semdedup",
+      "q_decontaminate_fuzzy"))
     golden.toSeq.sortBy(_._1).foreach { case (name, rows) =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert(df.columns.mkString(",") == rows.head._2,

@@ -24,7 +24,9 @@ QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
            # can never silently relax the check
            "q_dedup_groups", "q_chunks",
            # end-to-end near-dedup (signature-deterministic survivor sets)
-           "q_dedup_drop", "q_semdedup"]
+           "q_dedup_drop", "q_semdedup",
+           # fuzzy decontamination (signature-deterministic flags)
+           "q_decontaminate_fuzzy"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
