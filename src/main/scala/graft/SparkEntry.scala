@@ -945,14 +945,16 @@ object SparkEntry {
         |         AS BIGINT) AS rate_ppm
         |FROM x ORDER BY source""".stripMargin,
     // per-source cap: row_number mirrors TopKByScore's ranking order
-    // (score DESC, id ASC) exactly
+    // (score DESC, id ASC) exactly; the IS NOT NULL guard pins the
+    // operator's null-scores-never-rank contract (no-op on this fixture,
+    // where n_chars is never null)
     "q_source_cap" ->
       """SELECT source, rank, doc_id, score FROM (
         |  SELECT source,
         |         CAST(row_number() OVER (PARTITION BY source
         |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
         |         doc_id, CAST(n_chars AS DOUBLE) AS score
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // DSIR importance: add-one-smoothed unigram log-likelihood ratio over
     // the union vocabulary, averaged per doc occurrence

@@ -589,10 +589,18 @@ object Dedup {
     def grams(d: DataFrame): DataFrame =
       d.select(col("doc_id"), explode(ngramsUdf(n)(col("text"))).as("gram"))
     val benchGrams = grams(bench).select("gram").distinct()
-    val hits = grams(docs)
+    val hitIds = grams(docs)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("_hit", lit(true))
+      .select("doc_id")
+    flagContaminated(docs, hitIds)
+  }
+
+  /** (doc_id, contaminated) for every doc of `docs`, true iff the id is in
+    * `hitIds` — the shared tail of both decontamination tiers, so the flag
+    * contract can never drift between them.
+    */
+  private def flagContaminated(docs: DataFrame, hitIds: DataFrame): DataFrame = {
+    val hits = hitIds.distinct().withColumn("_hit", lit(true))
     docs.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("contaminated"))
@@ -609,33 +617,46 @@ object Dedup {
     * eval-suite-sized): the bench side's minhash band keys AND shingle
     * sets broadcast; corpus band keys probe the broadcast map-side, so
     * candidate (doc_id, bench_id) pairs are generated without shuffling
-    * text; only candidate ids prune the corpus shingle scan (LEFT SEMI on
-    * 8-byte ids) and the exact-Jaccard verify touches the pruned sliver.
-    * Recall follows the minhash banding curve (an exact clone of a bench
-    * doc agrees on every band and can never be missed); precision is
-    * exact — every flag is a verified true-Jaccard ≥ tau.
+    * text; the candidate id set (eval-overlap-sized under the same
+    * contract) broadcasts back as a LEFT SEMI to prune the corpus shingle
+    * scan, so corpus text/shingles never shuffle, and the exact-Jaccard
+    * verify touches only the pruned sliver. Recall follows the minhash
+    * banding curve (an exact clone of a bench doc agrees on every band
+    * and can never be missed); precision is exact — every flag is a
+    * verified true-Jaccard ≥ tau.
+    *
+    * Shingle-less docs (< ShingleN word tokens, incl. empty/whitespace)
+    * are trivially clean on BOTH sides — same contract as
+    * `decontaminate`'s too-short docs: with no shingles there is no
+    * content to leak, and without the filter every shingle-less doc
+    * shares the degenerate all-sentinel minhash signature, so one empty
+    * eval item would flag every empty corpus doc (empty∩empty Jaccard
+    * is 1.0 by convention).
     */
   def decontaminateFuzzy(docs: DataFrame, bench: DataFrame,
       tau: Double): DataFrame = {
-    val benchKeys = bench.select(col("doc_id").as("bench_id"),
+    def hasShingles(d: DataFrame): DataFrame =
+      d.filter(size(shinglesUdf(col("text"))) > 0)
+    val benchKeys = hasShingles(bench).select(col("doc_id").as("bench_id"),
       explode(bandKeysUdf(col("text"))).as("band_key"))
-    val cand = minhashKeys(docs)
+    val cand = minhashKeys(hasShingles(docs))
       .join(broadcast(benchKeys), Seq("band_key"))
       .select("doc_id", "bench_id").distinct()
+    // the distinct shrinks the broadcast (a doc can candidate with many
+    // bench items); the broadcast hint matters — cand derives from a join,
+    // so without it the planner has no size estimate and would sort-merge
+    // the semi, shuffling corpus text by doc_id
     val docSh = docs
-      .join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh_a"))
     val benchSh = bench.select(col("doc_id").as("bench_id"),
       shinglesUdf(col("text")).as("sh_b"))
-    val hits = cand
+    val hitIds = cand
       .join(docSh, "doc_id")
       .join(broadcast(benchSh), "bench_id")
       .filter(jaccardUdf(col("sh_a"), col("sh_b")) >= tau)
-      .select("doc_id").distinct()
-      .withColumn("_hit", lit(true))
-    docs.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("contaminated"))
+      .select("doc_id")
+    flagContaminated(docs, hitIds)
   }
 
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)

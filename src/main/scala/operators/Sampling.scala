@@ -124,6 +124,13 @@ object Sampling {
     * id, score) — callers wanting full rows semi-join back on the 8-byte
     * ids.
     *
+    * Null scores never rank: a doc whose score is null is excluded from
+    * its source's top-k (it cannot be compared), NOT ranked last — a
+    * source whose every score is null contributes no rows. Callers who
+    * want unscored docs kept must coalesce the score first. (The
+    * q_source_cap oracle pins the same contract with an IS NOT NULL
+    * guard.)
+    *
     * Deliberately NOT `row_number().over(partitionBy(source))`: the window
     * shuffles EVERY document of a source to one reducer before ranking —
     * on a web corpus where one domain is 10% of 100 TB, that is 10 TB

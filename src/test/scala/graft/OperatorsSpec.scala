@@ -403,6 +403,15 @@ class OperatorsSpec extends AnyFunSuite {
         col("n_chars").cast("double"), "doc_id", 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(capped == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L)))
+    // null scores never rank (not "rank last"): the null-scored doc is
+    // excluded even though its source has spare k; an all-null source
+    // contributes no rows
+    val withNulls = Seq((1L, "a", Some(10L)), (2L, "a", None),
+      (3L, "b", None)).toDF("doc_id", "source", "n_chars")
+    val cappedN = operators.Sampling.capPerSource(withNulls, "source",
+        col("n_chars").cast("double"), "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cappedN == Set(("a", 1L, 1L)))
   }
 
   test("dropSemanticDuplicates keeps one canonical per semantic cluster") {
@@ -713,6 +722,18 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
     assert(got.toSeq == Seq((1L, true), (2L, false)))
 
+    // shingle-less docs are trivially clean on both sides: an empty eval
+    // item must NOT flag empty/short corpus docs (empty∩empty Jaccard is
+    // 1.0 by convention, and all shingle-less docs share the degenerate
+    // all-sentinel minhash signature)
+    val benchEmpty = Seq((200L, ""), (201L, benchText)).toDF("doc_id", "text")
+    val corpusEdge = Seq((10L, ""), (11L, "   "), (12L, "two words"),
+      (13L, para)).toDF("doc_id", "text")
+    val gotE = Dedup.decontaminateFuzzy(corpusEdge, benchEmpty, 0.7)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(gotE.toSeq == Seq((10L, false), (11L, false), (12L, false),
+      (13L, true)))
+
     // fixture-level EXACT mirror: flag ⟺ (shares a minhash band with some
     // bench doc) ∧ (true shingle-Jaccard ≥ tau) — same signatures, no
     // approximation gap between operator and oracle
@@ -727,8 +748,12 @@ class OperatorsSpec extends AnyFunSuite {
     val expected = rows.map { case (id, t) =>
       val b = bands(t)
       val sh = Shingles.wordShingles(t, Dedup.ShingleN)
-      val hit = benchBands.exists { case (bid, bb) =>
-        b.exists(bb.contains) &&
+      // shingle-less docs on either side never match (the operator's
+      // trivially-clean contract; the fixture has none, so this clause
+      // is inert here and exists to keep the mirror definitionally exact)
+      val hit = sh.nonEmpty && benchBands.exists { case (bid, bb) =>
+        benchSh.find(_._1 == bid).get._2.nonEmpty &&
+          b.exists(bb.contains) &&
           Shingles.jaccard(sh,
             benchSh.find(_._1 == bid).get._2) >= 0.8
       }
