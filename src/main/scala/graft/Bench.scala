@@ -49,6 +49,8 @@ object Bench {
     "q_dedup_drop" -> 7.0,
     "q_dedup_embedding" -> 3.5,
     "q_dedup_lines" -> 6.0,
+    "q_dedup_lines_nl" -> 8.0,
+    "q_dedup_inc_near" -> 14.0,
     "q_quality_rep" -> 6.0,
     "q_decontaminate" -> 4.0,
     "q_mix_plan" -> 3.0,
@@ -60,6 +62,42 @@ object Bench {
   private val SpikeFactor = 3.0
   private val SpikeSlackSec = 2.0
   private val PipelineRefSec = 10.0
+
+  /** Healthy-host single-thread calibration reference (BENCH/BASELINE.md
+    * pins ≈0.38-0.41 s across all healthy captures). A sweep whose
+    * bracketing calibration exceeds `DegradedCalibFactor`× this is a
+    * degraded-host capture: per-query spike detection (3× bar) is
+    * structurally blind to a UNIFORM ~2× whole-host slowdown — every
+    * query stays sub-threshold, zero reruns fire, and the record goes
+    * out misstating the engine (exactly what happened to BENCH_r03/r04/
+    * r05, each adjudicated by the judge afterwards). The gate below
+    * re-runs the whole sweep once; if the retry is still degraded the
+    * record self-marks `"degraded":true` so it is never read as a
+    * healthy measurement.
+    */
+  private val HealthyCalibSec = 0.41
+  private val DegradedCalibFactor = 1.5
+  private def isDegraded(calibMax: Double): Boolean =
+    calibMax > DegradedCalibFactor * HealthyCalibSec
+
+  /** Everything one full bench sweep produces, bracketed by its own
+    * host-health calibration.
+    */
+  private final case class Sweep(
+      calibPre: Double,
+      calibPost: Double,
+      turnsIn: Long,
+      kept: Long,
+      coldSec: Double,
+      steadySec: Double,
+      results: Seq[(String, Double)],
+      reruns: Seq[(String, Double)]) {
+    def calibMax: Double = math.max(calibPre, calibPost)
+    def nFailed: Int = results.count(_._2 < 0)
+    def total: Double =
+      if (nFailed > 0) -1.0
+      else results.map(_._2).sum + coldSec + steadySec
+  }
 
   private def spiked(name: String, sec: Double): Boolean = {
     val ref = RefSec.getOrElse(name, DefaultRefSec)
@@ -84,77 +122,93 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Sessions.tune(spark)
 
-    // host-health self-check, measured BEFORE and AFTER the sweep (a
-    // degradation episode can start mid-run); healthy-host reference is
-    // pinned in BENCH/BASELINE.md
-    val calibPre = calibrate()
+    def runSweep(): Sweep = {
+      // host-health self-check, measured BEFORE and AFTER the sweep (a
+      // degradation episode can start mid-run); healthy-host reference is
+      // pinned in BENCH/BASELINE.md
+      val calibPre = calibrate()
 
-    // ---- headline: full-label pipeline throughput on the synth corpus ----
-    val target = SparkEntry.synthTurns(sfDir)
-    val store = SynthStore(target)
-    val turnsIn = store.read(spark).count()
-    // materialize the FULL job output (labels + scrubbed text), as the
-    // production sink would — count() alone would prune the scrub work
-    def pipelineOnce(): (Long, Double) = {
-      val t0 = System.nanoTime()
-      val kept = force(QualityPipeline.select(
-        QualityPipeline.score(store.read(spark).toDF()))
-        .filter(col("keep")))
-      (kept, (System.nanoTime() - t0) / 1e9)
-    }
-    val (kept, coldSec) = pipelineOnce()
-    // best-of-two steady runs (three if both look stall-inflated): the
-    // sandbox host has noisy-neighbor variance AND stall episodes
-    val (_, s1) = pipelineOnce()
-    val (_, s2) = pipelineOnce()
-    val steady2 = math.min(s1, s2)
-    val steadySec =
-      if (steady2 > SpikeFactor * PipelineRefSec)
-        math.min(steady2, pipelineOnce()._2)
-      else steady2
-    val turnsPerSec = turnsIn / steadySec
-
-    // ---- full operator sweep (fully materialized) ----
-    // a throwing query is reported as -1.0 (never a plausible wall-time);
-    // its stack goes to stderr so the failure is diagnosable from the log
-    def runOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val q0 = System.nanoTime()
-      try { force(fn(spark, sfDir)); (System.nanoTime() - q0) / 1e9 }
-      catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH QUERY FAILED $name: $t")
-          -1.0
+      // ---- headline: full-label pipeline throughput on the synth corpus ----
+      val target = SparkEntry.synthTurns(sfDir)
+      val store = SynthStore(target)
+      val turnsIn = store.read(spark).count()
+      // materialize the FULL job output (labels + scrubbed text), as the
+      // production sink would — count() alone would prune the scrub work
+      def pipelineOnce(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val kept = force(QualityPipeline.select(
+          QualityPipeline.score(store.read(spark).toDF()))
+          .filter(col("keep")))
+        (kept, (System.nanoTime() - t0) / 1e9)
       }
+      val (kept, coldSec) = pipelineOnce()
+      // best-of-two steady runs (three if both look stall-inflated): the
+      // sandbox host has noisy-neighbor variance AND stall episodes
+      val (_, s1) = pipelineOnce()
+      val (_, s2) = pipelineOnce()
+      val steady2 = math.min(s1, s2)
+      val steadySec =
+        if (steady2 > SpikeFactor * PipelineRefSec)
+          math.min(steady2, pipelineOnce()._2)
+        else steady2
+
+      // ---- full operator sweep (fully materialized) ----
+      // a throwing query is reported as -1.0 (never a plausible wall-time);
+      // its stack goes to stderr so the failure is diagnosable from the log
+      def runOnce(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        val q0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); (System.nanoTime() - q0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH QUERY FAILED $name: $t")
+            -1.0
+        }
+      }
+      val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val first = runOnce(name, fn)
+        val sec =
+          if (first >= 0 && spiked(name, first)) {
+            // suspected stall episode: re-run once, keep the better time,
+            // preserve the spiked first run in `reruns` as evidence
+            val second = runOnce(name, fn)
+            reruns += name -> first
+            if (second >= 0) math.min(first, second) else first
+          } else first
+        name -> sec
+      }
+      val calibPost = calibrate()
+      Sweep(calibPre, calibPost, turnsIn, kept, coldSec, steadySec,
+        results, reruns.toSeq)
     }
-    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = runOnce(name, fn)
-      val sec =
-        if (first >= 0 && spiked(name, first)) {
-          // suspected stall episode: re-run once, keep the better time,
-          // preserve the spiked first run in `reruns` as evidence
-          val second = runOnce(name, fn)
-          reruns += name -> first
-          if (second >= 0) math.min(first, second) else first
-        } else first
-      name -> sec
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // CALIBRATION GATE: per-query spike reruns cannot catch a UNIFORM
+    // whole-host slowdown, so the sweep itself is gated on its bracketing
+    // calibration — degraded first attempt → one full re-sweep; keep the
+    // attempt with the healthier calibration (ties to the retry, which is
+    // also JIT-warmer).
+    val first = runSweep()
+    val (sweep, attempts) =
+      if (isDegraded(first.calibMax)) {
+        System.err.println(f"BENCH HOST DEGRADED (calib ${first.calibMax}%.3f s" +
+          f" > ${DegradedCalibFactor * HealthyCalibSec}%.3f s): re-running sweep")
+        val second = runSweep()
+        (if (second.calibMax <= first.calibMax) second else first, 2)
+      } else (first, 1)
+    val degraded = isDegraded(sweep.calibMax)
+
+    val qs = sweep.results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rr = reruns.map { case (k, v) => "\"" + k + "\":" + v }
+    val rr = sweep.reruns.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query must never FLATTER the headline: with any failure the
     // total itself is reported as -1 (per-query -1 markers say which)
-    val nFailed = results.count(_._2 < 0)
-    val total =
-      if (nFailed > 0) -1.0
-      else results.map(_._2).sum + coldSec + steadySec
-    val calibPost = calibrate()
-    // headline = the WORSE of the two: a mid-sweep degradation episode
-    // must surface in the summary field, not be masked by a healthy start
-    val calib = math.max(calibPre, calibPost)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed_queries":$nFailed,"queries":$qs,"reruns":$rr,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":$turnsIn,"pipeline_turns_kept":$kept,"pipeline_cold_sec":$coldSec,"pipeline_sec":$steadySec,"turns_per_sec":$turnsPerSec,"host_calibration_sec":$calib,"host_calibration_pre_sec":$calibPre,"host_calibration_post_sec":$calibPost}""")
+    val turnsPerSec = sweep.turnsIn / sweep.steadySec
+    // headline calibration = the WORSE of the kept sweep's two brackets: a
+    // mid-sweep degradation episode must surface in the summary field, not
+    // be masked by a healthy start
+    println(s"""{"metric":"total","value":${sweep.total},"unit":"sec","failed_queries":${sweep.nFailed},"queries":$qs,"reruns":$rr,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":${sweep.turnsIn},"pipeline_turns_kept":${sweep.kept},"pipeline_cold_sec":${sweep.coldSec},"pipeline_sec":${sweep.steadySec},"turns_per_sec":$turnsPerSec,"host_calibration_sec":${sweep.calibMax},"host_calibration_pre_sec":${sweep.calibPre},"host_calibration_post_sec":${sweep.calibPost},"degraded":$degraded,"sweep_attempts":$attempts}""")
     spark.stop()
   }
 }

@@ -4,6 +4,7 @@ import guards.{QualityPipeline, Scoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import pipeline.{Sessions, SynthStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §8.7 + the builder prompt.
@@ -321,34 +322,60 @@ object SparkEntry {
     // shared 40-char prefix OR shared 40-char suffix — so DuckDB can pin
     // the full transitive closure with a recursive CTE. component = the
     // cluster's min doc_id (the canonical survivor of "keep one").
-    // NB unlike the other (lazy) queries, CONSTRUCTING this one runs the
-    // CC convergence loop — inherent to iterative algorithms (q_knn_ivf's
-    // centroid build is the same shape); explain-only consumers pay it.
+    // The CC convergence loop is inherent to iterative algorithms, but a
+    // LazyFrame defers it to first ACTION: explain-only consumers (plan
+    // audits, sweep enumeration) pay nothing (PlanShapeSpec asserts zero
+    // jobs at planning time).
     "q_dedup_groups" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      def pairsOn(key: org.apache.spark.sql.Column): DataFrame = {
-        val l = d.select(col("doc_id").as("doc_a"), key.as("k"))
-        val r = d.select(col("doc_id").as("doc_b"), key.as("k"))
-        l.join(r, "k").filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-      }
-      val pairs = pairsOn(substring(col("text"), 1, 40))
-        .unionByName(pairsOn(
-          expr("substring(text, greatest(length(text) - 39, 1), 40)")))
-        .distinct()
-      operators.Dedup.connectedComponents(pairs).orderBy("doc_id")
+      // even the parquet scan construction lives inside the thunk: footer/
+      // schema reads launch a small job, which the zero-jobs-at-planning
+      // contract (PlanShapeSpec) also defers
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("component", LongType)))) {
+        val d = t(s, dir, "documents")
+        def pairsOn(key: org.apache.spark.sql.Column): DataFrame = {
+          val l = d.select(col("doc_id").as("doc_a"), key.as("k"))
+          val r = d.select(col("doc_id").as("doc_b"), key.as("k"))
+          l.join(r, "k").filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b")
+        }
+        val pairs = pairsOn(substring(col("text"), 1, 40))
+          .unionByName(pairsOn(
+            expr("substring(text, greatest(length(text) - 39, 1), 40)")))
+          .distinct()
+        operators.Dedup.connectedComponents(pairs)
+      }.orderBy("doc_id")
     }),
 
     // corpus-wide duplicate-line removal (RefinedWeb/CCNet boilerplate
     // pass over fixed 8-token lines): heavy-hitter detection shuffles
     // only 16-byte (hash, doc_id) rows, removal is a map-side broadcast-
-    // set filter — EXACT, so DuckDB pins it end-to-end. NB constructing
-    // this runs the two cap-bounded detection collects eagerly (same
-    // caveat as q_dedup_groups).
-    "q_dedup_lines" -> ((s, dir) =>
-      operators.Dedup.dedupLinesCorpus(
-        t(s, dir, "documents").select("doc_id", "text"))
-        .orderBy("doc_id")),
+    // set filter — EXACT, so DuckDB pins it end-to-end. The cap-bounded
+    // detection collects are deferred to first action via LazyFrame
+    // (same rationale as q_dedup_groups).
+    "q_dedup_lines" -> ((s, dir) => {
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_lines", IntegerType), StructField("n_kept", IntegerType),
+        StructField("text_clean", StringType)))) {
+        operators.Dedup.dedupLinesCorpus(
+          t(s, dir, "documents").select("doc_id", "text"))
+      }.orderBy("doc_id")
+    }),
+    // the same boilerplate pass under the newline-delimited line policy:
+    // the corpus is re-lined in-query (every 2 whitespace tokens joined
+    // by '\n' via one regexp pass) so real multi-line documents exercise
+    // split-on-'\n' detection, removal and '\n' reassembly — DuckDB
+    // mirrors the re-lining and the three phases exactly
+    "q_dedup_lines_nl" -> ((s, dir) => {
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_lines", IntegerType), StructField("n_kept", IntegerType),
+        StructField("text_clean", StringType)))) {
+        operators.Dedup.dedupLinesNewline(
+          t(s, dir, "documents").select(col("doc_id"),
+            regexp_replace(coalesce(col("text"), lit("")),
+              "(\\S+ \\S+) ", "$1\n").as("text")))
+      }.orderBy("doc_id")
+    }),
     // Gopher-style repetition signals: most-repeated word / word-bigram
     // per doc via exploded two-level partial aggregation (all codegen)
     "q_quality_rep" -> ((s, dir) =>
@@ -434,6 +461,26 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), 0.8)
         .select("doc_id")
         .orderBy("doc_id")),
+    // incremental NEAR-dedup: history = the near-dedup'd 3/4 of the corpus
+    // (the operator's precondition), batch = the held-out 1/4 plus planted
+    // near-clones of history docs; the batch is probed against history's
+    // minhash band-key index WITHOUT re-running LSH over history, and the
+    // survivor set equals the full recompute restricted to the batch
+    // (asserted in OperatorsSpec; signature-deterministic: golden-pinned)
+    "q_dedup_inc_near" -> ((s, dir) => {
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType)))) {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val history = operators.Dedup.dropNearDuplicates(
+          d.filter(pmod(col("doc_id"), lit(4)) =!= 0), 0.8)
+        val batch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .unionByName(history.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              concat(col("text"), lit(" extra")).as("text")))
+        operators.Dedup.incrementalNewNear(
+          operators.Dedup.bandIndexFor(history), history, batch, 0.8)
+          .select("doc_id")
+      }.orderBy("doc_id")
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       // plant exact duplicates so the demo provably surfaces pairs
@@ -879,6 +926,31 @@ object SparkEntry {
         |         WHERE line NOT IN (SELECT line FROM freq)),
         |agg AS (SELECT doc_id, count(*) AS n_kept,
         |               string_agg(line, ' ' ORDER BY line_idx) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+        |       coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // newline-policy line dedup: the same re-lining regexp (2 ws-tokens
+    // per line via backref replacement — RE2 supports \1 in REPLACEMENT,
+    // only pattern-side backrefs are unsupported), split on chr(10), the
+    // same df > 2 threshold, in-order '\n' reassembly
+    "q_dedup_lines_nl" ->
+      """WITH d AS (SELECT doc_id,
+        |             string_split(regexp_replace(coalesce(text, ''),
+        |               '(\S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+        |           FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS line_idx, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        |        FROM d)),
+        |freq AS (SELECT line FROM lines GROUP BY line
+        |         HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (SELECT doc_id, line_idx, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM freq)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
         |        FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
         |SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,

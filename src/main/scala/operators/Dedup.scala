@@ -467,6 +467,141 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  // ---- incremental NEAR-dedup against history (persisted band-key index) --
+
+  /** The minhash band-key index rows for `docs`: (doc_id, band_key) —
+    * `Bands` 16-byte rows per doc, the persisted artifact that makes
+    * cross-batch NEAR-dedup incremental (the near-dup analog of
+    * `withTextHash`'s 8-byte exact-dedup column). Written alongside the
+    * accepted output once per batch; later batches probe it instead of
+    * re-running LSH over the whole history corpus.
+    */
+  def bandIndexFor(docs: DataFrame): DataFrame = minhashKeys(docs)
+
+  /** Append (default) or overwrite the band-key index at `path` with
+    * `docs`' keys. The per-batch contract: after `incrementalNewNear`
+    * accepts a batch's survivors, append exactly the survivors' keys —
+    * each accepted doc must appear in the index exactly once.
+    */
+  def writeBandIndex(docs: DataFrame, path: String,
+      mode: String = "append"): Unit =
+    bandIndexFor(docs).write.mode(mode).parquet(path)
+
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental NEAR-dedup: the rows of `incoming` that survive
+    * `dropNearDuplicates(history ∪ incoming, tau)` — computed WITHOUT
+    * re-running LSH over history, by probing the batch's band keys
+    * against the persisted `index` (= `bandIndexFor(history)`,
+    * accumulated via `writeBandIndex`). The production per-batch flow:
+    *
+    * {{{
+    * val idx = Dedup.readBandIndex(spark, idxPath)
+    * val accepted = Dedup.incrementalNewNear(idx, history, batch, tau)
+    * accepted.write.mode("append").parquet(historyPath)
+    * Dedup.writeBandIndex(accepted, idxPath) // append survivors' keys
+    * }}}
+    *
+    * PRECONDITION for exactness: `history` is internally near-dup-free at
+    * the same (tau, signature) parameters — true by construction when
+    * history is the accumulated accepted output of this operator (or of
+    * `dropNearDuplicates`). Then the batch-restricted result EQUALS the
+    * full batch recompute `dropNearDuplicates(history ∪ incoming, tau)
+    * ∩ incoming` (asserted against that oracle in OperatorsSpec and
+    * golden-pinned as q_dedup_inc_near): only buckets containing a batch
+    * doc can contribute a new verified edge, and the semi-probe recovers
+    * those buckets' history members exactly. Without the precondition a
+    * history-history edge in an UNPROBED bucket could reroute a
+    * component's canonical — the operator never sees those buckets.
+    *
+    * Scale shape (what never happens to the 100 TB side):
+    * 1. the batch's distinct band keys prune the INDEX scan — broadcast
+    *    semi below `maxBroadcastSuspects` probe keys, shuffled semi
+    *    above (dup-heavy re-crawl); either way only 16-byte index rows
+    *    of PROBED buckets move, history text is untouched;
+    * 2. candidate pairs come from `pairsFromKeys` over probed-bucket
+    *    members ∪ batch keys — identical bucket contents (and MaxBucket
+    *    caps) to the full recompute, restricted to probed buckets;
+    * 3. history TEXT is read only for the candidate ids the pairs name:
+    *    zero candidates ⇒ history is never scanned at all (asserted with
+    *    a poisoned-text frame in OperatorsSpec); ≤ `MaxPushdownMatches`
+    *    candidates ⇒ a collected IN(doc_id) filter pushed into the
+    *    parquet scan; larger sets stay distributed as a (broadcast or
+    *    shuffled) LEFT SEMI on the 8-byte ids;
+    * 4. exact-Jaccard verify + connected components + one anti-join on
+    *    ids — same tail as `dropNearDuplicates`, over the candidate
+    *    sliver only.
+    *
+    * NOTE: the probe/verify/CC phases run eagerly (sizing counts + the
+    * convergence loop); the returned DataFrame is lazy.
+    */
+  def incrementalNewNear(index: DataFrame, history: DataFrame,
+      incoming: DataFrame, tau: Double,
+      maxBroadcastSuspects: Long = MaxBroadcastSuspects): DataFrame = {
+    val spark = incoming.sparkSession
+    val nIn = incoming.count()
+    if (nIn == 0) return incoming
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // signatures are the expensive per-doc compute — done ONCE per batch
+    val inKeys = minhashKeys(incoming).persist(lvl)
+    val pairs = {
+      val small = nIn * Bands <= maxBroadcastSuspects
+      val probe = inKeys.select("band_key").distinct()
+      // semi-prune the index to probed buckets: the index side streams
+      // through its scan, only probed-bucket rows continue
+      val relIdx = index.join(
+          if (small) broadcast(probe) else probe.hint("shuffle_hash"),
+          Seq("band_key"), "left_semi")
+        .select("doc_id", "band_key")
+      pairsFromKeys(relIdx.unionByName(inKeys)).persist(lvl)
+    }
+    try {
+      // candidate history ids = pair members that are not batch ids; the
+      // batch id side is batch-sized, so it broadcasts into the anti-join
+      val inIds = incoming.select("doc_id")
+      val histCandIds = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .join(if (nIn <= maxBroadcastSuspects) broadcast(inIds) else inIds,
+          Seq("doc_id"), "left_anti")
+        .persist(lvl)
+      val nHist = histCandIds.count()
+      val inSh = incoming.select(col("doc_id"),
+        shinglesUdf(col("text")).as("sh"))
+      val sh =
+        if (nHist == 0) inSh // history (and its text) never scanned
+        else if (nHist <= MaxPushdownMatches) {
+          val ids = histCandIds.collect().map(_.getLong(0))
+          inSh.unionByName(history
+            .filter(col("doc_id").isin(ids.map(Long.box): _*))
+            .select(col("doc_id"), shinglesUdf(col("text")).as("sh")))
+        } else inSh.unionByName(history
+          .join(if (nHist <= maxBroadcastSuspects) broadcast(histCandIds)
+                else histCandIds.hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), shinglesUdf(col("text")).as("sh")))
+      val verified = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .filter(jaccardUdf(col("sh_a"), col("sh_b")) >= tau)
+        .select("doc_a", "doc_b")
+      // CC localCheckpoints its result, so the caches can be released as
+      // soon as the convergence loop has run
+      val losers = connectedComponents(verified)
+        .filter(col("doc_id") =!= col("component"))
+        .select("doc_id")
+      histCandIds.unpersist()
+      incoming.join(losers, Seq("doc_id"), "left_anti")
+    } finally {
+      pairs.unpersist()
+      inKeys.unpersist()
+    }
+  }
+
   /** Frequent-line sets (corpus-wide boilerplate) above this size abort
     * loudly rather than silently truncating the removal set or melting the
     * driver: real boilerplate is heavy-hitter-shaped (nav bars, cookie
@@ -476,13 +611,24 @@ object Dedup {
     */
   final val MaxFrequentLines = 1000000
 
+  /** Byte companion to `MaxFrequentLines`: the confirmed-boilerplate set
+    * is collected to the driver and broadcast as a hash set, so it must be
+    * bounded in BYTES, not just rows — 1M near-maximal lines could still
+    * be hundreds of MB. The sum of line lengths is measured DISTRIBUTED,
+    * before the collect, so a breach aborts without ever materializing
+    * the oversized set on the driver. Same loud-failure contract as the
+    * row cap: a breach means the line definition is degenerate for the
+    * corpus.
+    */
+  final val MaxFrequentLineBytes: Long = 256L << 20
+
   /** Corpus-wide duplicate-line removal (the RefinedWeb/CCNet boilerplate
     * pass): drop EVERY occurrence of any line that appears in more than
     * `maxDocFreq` distinct documents, keeping each doc's remaining lines
     * in order. "Line" = a run of `wordsPerLine` whitespace tokens
-    * (`TextAnalysis.tokenChunkLines` — the fixture corpus is single-line,
-    * so fixed-width chunking is the line policy; a newline-delimited
-    * corpus would pass `split(text, '\n')` through the same phases).
+    * (the fixture corpus is single-line, so fixed-width chunking is the
+    * default line policy; `dedupLinesNewline` runs the identical three
+    * phases over literal '\n'-delimited lines).
     *
     * Returns (doc_id, n_lines, n_kept, text_clean) for every input doc —
     * a doc whose every line is boilerplate survives with text_clean = ''.
@@ -526,9 +672,29 @@ object Dedup {
 
   def dedupLinesCorpus(docs: DataFrame, wordsPerLine: Int = 8,
       maxDocFreq: Int = 2,
-      maxFrequentLines: Int = MaxFrequentLines): DataFrame = {
+      maxFrequentLines: Int = MaxFrequentLines,
+      maxFrequentBytes: Long = MaxFrequentLineBytes): DataFrame =
+    dedupLinesByPolicy(docs, chunkLinesUdf(wordsPerLine)(col("text")), " ",
+      maxDocFreq, maxFrequentLines, maxFrequentBytes)
+
+  /** Newline-delimited line policy over the same three phases: a "line"
+    * is a literal '\n'-separated segment (the natural policy for a corpus
+    * whose documents contain real newlines; trailing empties kept —
+    * limit −1), and the cleaned text is rejoined with '\n'. An empty/null
+    * doc is ONE empty line, matching the fixed-width policy's ≥1-line
+    * guarantee.
+    */
+  def dedupLinesNewline(docs: DataFrame, maxDocFreq: Int = 2,
+      maxFrequentLines: Int = MaxFrequentLines,
+      maxFrequentBytes: Long = MaxFrequentLineBytes): DataFrame =
+    dedupLinesByPolicy(docs,
+      split(coalesce(col("text"), lit("")), "\n", -1), "\n",
+      maxDocFreq, maxFrequentLines, maxFrequentBytes)
+
+  private def dedupLinesByPolicy(docs: DataFrame, linesCol: Column,
+      sep: String, maxDocFreq: Int, maxFrequentLines: Int,
+      maxFrequentBytes: Long): DataFrame = {
     val spark = docs.sparkSession
-    val linesCol = chunkLinesUdf(wordsPerLine)(col("text"))
     val exploded = docs.select(col("doc_id"), explode(linesCol).as("line"))
     // phase 1: heavy-hitter hashes — 8-byte keys, the only corpus-sized
     // shuffle in the operator
@@ -544,19 +710,37 @@ object Dedup {
         "only if the boilerplate set is genuinely this large)")
     if (hashes.isEmpty)
       return docs.select(col("doc_id"), size(linesCol).as("n_lines"),
-        size(linesCol).as("n_kept"), concat_ws(" ", linesCol).as("text_clean"))
+        size(linesCol).as("n_kept"), concat_ws(sep, linesCol).as("text_clean"))
     // phase 2: exact recount per candidate STRING (hash hits only — a
-    // sliver of the corpus), rescuing 64-bit collisions
+    // sliver of the corpus), rescuing 64-bit collisions. The confirmed
+    // set is cached distributed and SIZED (rows + utf-8 bytes) before
+    // anything is collected: the row bound came from phase 1's cap, but
+    // near-maximal LINES could still breach driver/broadcast memory —
+    // the byte cap aborts while the set is still on the executors.
     val hashSet = spark.sparkContext.broadcast(hashes.toSet)
     val hashHit = udf((h: Long) => hashSet.value.contains(h))
-    val freqLines = exploded
+    val freqLinesDf = exploded
       .filter(hashHit(xxhash64(col("line"))))
       .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDocFreq)
-      .limit(maxFrequentLines + 1)
-      .collect().map(_.getString(0))
-    require(freqLines.length <= maxFrequentLines,
-      s"dedupLinesCorpus: > $maxFrequentLines confirmed frequent lines")
+      .select("line")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqLines =
+      try {
+        val stats = freqLinesDf
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("line"))), lit(0L)).as("bytes"))
+          .head()
+        require(stats.getLong(0) <= maxFrequentLines,
+          s"dedupLinesCorpus: > $maxFrequentLines confirmed frequent lines")
+        require(stats.getLong(1) <= maxFrequentBytes,
+          s"dedupLinesCorpus: confirmed frequent-line set is " +
+            s"${stats.getLong(1)} bytes > cap $maxFrequentBytes — the line " +
+            "definition is degenerate for this corpus (raise " +
+            "maxFrequentBytes only if the boilerplate set is genuinely " +
+            "this large)")
+        freqLinesDf.collect().map(_.getString(0))
+      } finally freqLinesDf.unpersist()
     // phase 3: map-side removal — one broadcast set probe per line, doc
     // rows never shuffle
     val freqSet = spark.sparkContext.broadcast(freqLines.toSet)
@@ -567,7 +751,7 @@ object Dedup {
       .withColumn("_kept", keepLines(col("_lines")))
       .select(col("doc_id"), size(col("_lines")).as("n_lines"),
         size(col("_kept")).as("n_kept"),
-        concat_ws(" ", col("_kept")).as("text_clean"))
+        concat_ws(sep, col("_kept")).as("text_clean"))
   }
 
   /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap scan):

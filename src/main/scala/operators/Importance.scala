@@ -59,22 +59,28 @@ object Importance {
   }
 
   /** Hashed-feature importance scores — the production-scale DSIR shape:
-    * words map to `numBuckets` hashed features before counting, so the
-    * weight table is a FIXED-SIZE broadcast (numBuckets rows, e.g. 2^16 ≈
-    * 1 MB) regardless of corpus vocabulary, and the scoring join never
-    * shuffles. Hash collisions merge word statistics (the documented DSIR
-    * trade: a bounded-memory estimator of the same ratio); scores are
+    * the paper's unigram AND bigram features map to `numBuckets` hashed
+    * buckets before counting (a doc with n word tokens contributes n
+    * unigram + n−1 bigram occurrences), so the weight table is a
+    * FIXED-SIZE broadcast (numBuckets rows, e.g. 2^16 ≈ 1 MB) regardless
+    * of corpus vocabulary, and the scoring join never shuffles. Hash
+    * collisions merge n-gram statistics (the documented DSIR trade: a
+    * bounded-memory estimator of the same ratio); scores are
     * deterministic and partition-invariant but not equal to the exact
     * word-level scores.
     */
   def importanceScoresHashed(docs: DataFrame, target: DataFrame,
       numBuckets: Int = 1 << 16): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    def feats(d: DataFrame, cols: Seq[String]): DataFrame =
+    def feats(d: DataFrame, cols: Seq[String]): DataFrame = {
+      val w = TextAnalysis.wordTokens(col("text"))
+      // unigrams ++ bigrams in one generator pass (zip_with bigrams — see
+      // TextAnalysis.tokenBigrams for the measured slice-per-index trap)
       d.select(cols.map(col) :+
-          explode(TextAnalysis.wordTokens(col("text"))).as("_word"): _*)
+          explode(concat(w, TextAnalysis.tokenBigrams(w))).as("_gram"): _*)
         .select(cols.map(col) :+
-          pmod(xxhash64(col("_word")), lit(numBuckets.toLong)).as("feat"): _*)
+          pmod(xxhash64(col("_gram")), lit(numBuckets.toLong)).as("feat"): _*)
+    }
     val dw = feats(docs, Seq("doc_id"))
     val rc = dw.groupBy("feat").agg(count(lit(1)).as("rc"))
     val tc = feats(target, Seq.empty)
@@ -92,6 +98,7 @@ object Importance {
             / (col("_R") + col("_V")).cast("double"))).as("_w"))
     dw.join(broadcast(weights), Seq("feat"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), avg("_w").as("score"))
+      // n_feats, not n_words: a doc with n word tokens has 2n-1 features
+      .agg(count(lit(1)).as("n_feats"), avg("_w").as("score"))
   }
 }

@@ -94,9 +94,15 @@ object Sampling {
       .withColumn("weight", col("_pw") / col("_spw"))
       .withColumn("target_tokens",
         round(col("weight") * lit(budgetTokens.toDouble)).cast("long"))
+      // explicit zero-token guard: 0/0 would be NaN and the rate-1 outcome
+      // would then hinge on least()'s NaN ordering — a source with nothing
+      // to downsample keeps rate 1 by CONTRACT, not by float accident
+      // (covers a null n_tokens — every token value null — the same way)
       .withColumn("rate",
-        least(lit(1.0),
-          col("target_tokens").cast("double") / col("n_tokens")))
+        when(col("n_tokens") > 0,
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("n_tokens")))
+          .otherwise(lit(1.0)))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("weight"),
         col("target_tokens"), col("rate"))
   }

@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an `RDD[InternalRow]` with a known schema as a DataFrame
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`) — the
+    * bridge graft.LazyFrame uses to defer an iterative query's driver-side
+    * jobs to first action instead of DataFrame construction.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -377,6 +377,99 @@ class OperatorsSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
+  test("incrementalNewNear == dropNearDuplicates(history ∪ batch) restricted to the batch") {
+    val base = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // history honors the operator's precondition: it is the accepted
+    // output of the same near-dedup at the same tau
+    val history = Dedup.dropNearDuplicates(
+      base.filter(col("doc_id") % 4 =!= 0), 0.8).localCheckpoint(true)
+    val batch = base.filter(col("doc_id") % 4 === 0)
+      .unionByName(history.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+      .localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = ids(Dedup.incrementalNewNear(
+      Dedup.bandIndexFor(history), history, batch, 0.8))
+    val batchIds = ids(batch).toSet
+    val want = ids(Dedup.dropNearDuplicates(history.unionByName(batch), 0.8))
+      .filter(batchIds)
+    assert(got == want, s"${got.size} vs ${want.size} survivors")
+    // the planted near-clones of history docs are all rejected (their
+    // history original is always its component's min id)
+    assert(got.forall(_ < 3000000L), "a planted near-clone of history survived")
+    assert(batchIds.exists(_ >= 3000000L) && got.size < batchIds.size,
+      "removal never fired — the planted clones should be dropped")
+
+    // persisted-index round trip: write, read back, identical survivors
+    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
+    Dedup.writeBandIndex(history, s"$dir/band", mode = "overwrite")
+    val got2 = ids(Dedup.incrementalNewNear(
+      Dedup.readBandIndex(spark, s"$dir/band"), history, batch, 0.8))
+    assert(got2 == got, "read-back band index must answer identically")
+
+    // the per-batch append flow: accept the survivors, append exactly
+    // their keys, and a second batch must again equal the full recompute
+    val accepted = batch
+      .filter(col("doc_id").isin(got.map(Long.box): _*))
+      .localCheckpoint(true)
+    Dedup.writeBandIndex(accepted, s"$dir/band") // append
+    val history2 = history.unionByName(accepted)
+    val batch2 = accepted.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      .localCheckpoint(true)
+    val got3 = ids(Dedup.incrementalNewNear(
+      Dedup.readBandIndex(spark, s"$dir/band"), history2, batch2, 0.8))
+    val batch2Ids = ids(batch2).toSet
+    val want3 = ids(Dedup.dropNearDuplicates(history2.unionByName(batch2), 0.8))
+      .filter(batch2Ids)
+    assert(got3 == want3)
+    assert(got3.size < batch2Ids.size,
+      "second-batch near-clones of accepted docs must be rejected")
+  }
+
+  test("incrementalNewNear: history text is read only for candidate ids (never for a candidate-free batch)") {
+    import spark.implicits._
+    val histRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+    val histRaw = histRows.toDF("doc_id", "text")
+    // candidate-free batch: disjoint vocabulary ⇒ no shared band keys ⇒
+    // the poison column must never be evaluated
+    val poisonAll = udf { (s: String) =>
+      if (s != null) throw new IllegalStateException("history text read")
+      s
+    }
+    val poisoned = histRaw.select(col("doc_id"), poisonAll(col("text")).as("text"))
+    val index = Dedup.bandIndexFor(histRaw) // keys from the REAL text, as persisted
+    val farBatch = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNewNear(index, poisoned, farBatch, 0.8)
+    assert(out.count() == 2, "candidate-free batch passes through whole")
+
+    // candidate-bearing batch: only the candidate history doc's text may
+    // be read — a poison keyed on the NON-candidate id must not fire.
+    // History is parquet-backed (the production shape): an in-memory
+    // LocalRelation would be constant-folded through the poison UDF at
+    // optimization time, which is an optimizer artifact, not a scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-near-poison").toString
+    histRaw.write.parquet(s"$dir/hist")
+    val poison1 = udf((id: Long, s: String) =>
+      if (id == 2L) throw new IllegalStateException(s"non-candidate $id read")
+      else s)
+    val poisoned1 = spark.read.parquet(s"$dir/hist").select(col("doc_id"),
+      poison1(col("doc_id"), col("text")).as("text"))
+    val nearBatch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+      .toDF("doc_id", "text")
+    val out1 = Dedup.incrementalNewNear(index, poisoned1, nearBatch, 0.8)
+    assert(out1.count() == 0, "the near-clone of history doc 1 must be dropped")
+  }
+
   test("capPerSource == the window row_number oracle, ties and skew included") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val got = operators.Sampling.capPerSource(d, "source",
@@ -500,6 +593,48 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.dedupLinesCorpus(docs, maxFrequentLines = 0)
     }
     assert(e.getMessage.contains("frequent lines"))
+  }
+
+  test("dedupLinesCorpus: a breached BYTE cap fails loudly before any driver collect") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupLinesCorpus(docs, maxFrequentBytes = 1L)
+    }
+    assert(e.getMessage.contains("bytes"), e.getMessage)
+  }
+
+  test("dedupLinesNewline: '\\n' lines detected, removed in order, rejoined with '\\n'") {
+    import spark.implicits._
+    val boiler = "COOKIE BANNER"
+    val d = Seq(
+      (1L, s"$boiler\nunique one\nalpha"),
+      (2L, s"beta two\n$boiler"),
+      (3L, boiler), // all-boilerplate doc survives as an empty row
+      (4L, "gamma\ndelta"),
+      (5L, s"$boiler\n$boiler")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesNewline(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3, 2, "unique one\nalpha"),
+      (2L, 2, 1, "beta two"),
+      (3L, 1, 0, ""),
+      (4L, 2, 2, "gamma\ndelta"),
+      (5L, 2, 0, "")))
+    // both caps fail loudly under the newline policy too
+    assert(intercept[IllegalArgumentException] {
+      Dedup.dedupLinesNewline(d, maxFrequentLines = 0)
+    }.getMessage.contains("frequent lines"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.dedupLinesNewline(d, maxFrequentBytes = 3L)
+    }.getMessage.contains("bytes"))
+    // null text is one empty line; an empty line shared by > maxDocFreq
+    // docs is itself boilerplate
+    val withNulls = (Seq((10L, null: String), (11L, ""), (12L, ""),
+      (13L, ""), (14L, "solo line")).toDF("doc_id", "text"))
+    val outN = Dedup.dedupLinesNewline(withNulls).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(outN.toSeq == Seq(
+      (10L, 1, 0, ""), (11L, 1, 0, ""), (12L, 1, 0, ""), (13L, 1, 0, ""),
+      (14L, 1, 1, "solo line")))
   }
 
   test("repetitionSignals == a plain-Scala word/bigram-mode oracle") {
@@ -681,13 +816,50 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(s(1L) > s(3L) && s(3L) > s(2L), s"ordering wrong: $s")
     assert(s(1L) > 0 && s(2L) < 0, s"signs wrong: $s")
-    // the hashed variant with a huge bucket space sees no collisions on
-    // this vocabulary, so it reproduces the exact scores
-    val h = operators.Importance.importanceScoresHashed(corpus, target, 1 << 30)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
-    s.foreach { case (id, sc) =>
-      assert(math.abs(h(id) - sc) < 1e-9, s"hashed($id)=${h(id)} vs exact $sc")
+  }
+
+  test("importanceScoresHashed == a plain-Scala unigram+bigram oracle (no collisions)") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "alpha gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota"),
+      (3L, "alpha beta zeta eta")).toDF("doc_id", "text")
+    // plain-Scala mirror of the DSIR unigram+bigram construction; with a
+    // 2^30 bucket space this vocabulary sees no collisions, so the hashed
+    // scores must equal the uncollided n-gram log-ratio exactly
+    def grams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
     }
+    val corpusRows = Seq((1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota"), (3L, "alpha beta zeta eta"))
+    val targetRows = Seq("alpha beta gamma alpha beta", "alpha gamma delta")
+    val rc = corpusRows.flatMap(r => grams(r._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tc = targetRows.flatMap(grams).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = rc.keySet ++ tc.keySet
+    val (rTot, tTot, v) = (rc.values.sum, tc.values.sum, vocab.size.toLong)
+    def wgt(g: String): Double =
+      math.log((tc.getOrElse(g, 0L) + 1.0) / (tTot + v)) -
+        math.log((rc.getOrElse(g, 0L) + 1.0) / (rTot + v))
+    val expected = corpusRows.map { case (id, t) =>
+      val gs = grams(t)
+      (id, gs.size.toLong, gs.map(wgt).sum / gs.size)
+    }
+    val h = operators.Importance.importanceScoresHashed(corpus, target, 1 << 30)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(h.map(x => (x._1, x._2)) == expected.map(e => (e._1, e._2)),
+      s"feature counts: $h vs $expected")
+    h.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // target-likeness ordering survives the bigram extension
+    val byId = h.map(x => x._1 -> x._3).toMap
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L), s"ordering wrong: $byId")
   }
 
   test("importanceScoresHashed: deterministic and partition-invariant") {

@@ -73,6 +73,61 @@ class PlanShapeSpec extends AnyFunSuite {
       s"documents scan reads unused columns:\n${readSchemas.mkString("\n")}")
   }
 
+  test("iterative queries construct and plan lazily: zero Spark jobs before first action") {
+    // q_dedup_groups / q_dedup_lines / q_dedup_lines_nl / q_dedup_inc_near
+    // run convergence loops or cap-bounded collects — LazyFrame must defer
+    // ALL of that to first action, so an explain-only sweep is free
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("q_dedup_groups", "q_dedup_lines", "q_dedup_lines_nl",
+        "q_dedup_inc_near").foreach { q =>
+        // force full planning, not just construction
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      }
+      // listener delivery is async: run ONE sentinel job and wait for ITS
+      // event — events are delivered in order, so once the sentinel has
+      // arrived, any job started during planning would already be counted
+      spark.sparkContext.parallelize(1 to 1, 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"${jobs.get() - 1} Spark job(s) ran during lazy-query planning")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("LazyFrame defers the thunk to first action and checks the declared schema") {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    var ran = false
+    val good = LazyFrame(spark,
+      StructType(Seq(StructField("x", LongType)))) {
+      ran = true
+      spark.range(3).select(org.apache.spark.sql.functions.col("id").as("x"))
+    }
+    assert(!ran, "thunk must not run at construction")
+    good.queryExecution.executedPlan // planning alone must not run it either
+    assert(!ran, "thunk must not run at planning")
+    assert(good.count() == 3 && ran)
+    // a thunk whose schema diverges from the declaration fails loudly at
+    // first action (InternalRow consumption is positional — a silent
+    // mismatch would mis-read columns)
+    val bad = LazyFrame(spark,
+      StructType(Seq(StructField("x", LongType)))) {
+      spark.range(3).select(lit("s").as("x"))
+    }
+    val e = intercept[Exception] { bad.count() }
+    // the failure may surface raw (driver-side getPartitions) or wrapped;
+    // either way the LazyFrame contract message must be the cause
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("LazyFrame")), messages(e).mkString("; "))
+  }
+
   test("no CartesianProduct outside the explicit cross-join demo") {
     // sweep EVERY driver-contract query's plan; a cartesian product that
     // appears anywhere else is a planning regression that would be fatal

@@ -26,7 +26,12 @@ QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
            # end-to-end near-dedup (signature-deterministic survivor sets)
            "q_dedup_drop", "q_semdedup",
            # fuzzy decontamination (signature-deterministic flags)
-           "q_decontaminate_fuzzy"]
+           "q_decontaminate_fuzzy",
+           # incremental near-dedup survivors (signature-deterministic)
+           "q_dedup_inc_near",
+           # audio features (deterministic synth WAVs -> deterministic
+           # RMS/ZCR/Goertzel values; %.4f-pinned)
+           "q_multimodal_audio"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
