@@ -50,7 +50,8 @@ object Bench {
     "q_dedup_embedding" -> 3.5,
     "q_dedup_lines" -> 6.0,
     "q_dedup_lines_nl" -> 8.0,
-    "q_dedup_inc_near" -> 14.0,
+    "q_dedup_spans" -> 8.0,
+    "q_dedup_inc_near" -> 20.0,
     "q_quality_rep" -> 6.0,
     "q_decontaminate" -> 4.0,
     "q_mix_plan" -> 3.0,

@@ -376,6 +376,18 @@ object SparkEntry {
               "(\\S+ \\S+) ", "$1\n").as("text")))
       }.orderBy("doc_id")
     }),
+    // duplicated-SPAN removal (Lee et al. exact-substring dedup over
+    // 16-token windows): detection shuffles only (hash, doc_id) pairs,
+    // exact per-string recount rescues collisions, removal is one
+    // map-side cover pass — exact string semantics, DuckDB-pinned
+    "q_dedup_spans" -> ((s, dir) => {
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_tokens", IntegerType), StructField("n_kept", IntegerType),
+        StructField("text_clean", StringType)))) {
+        operators.Dedup.dedupSpansCorpus(
+          t(s, dir, "documents").select("doc_id", "text"), k = 16)
+      }.orderBy("doc_id")
+    }),
     // Gopher-style repetition signals: most-repeated word / word-bigram
     // per doc via exploded two-level partial aggregation (all codegen)
     "q_quality_rep" -> ((s, dir) =>
@@ -929,6 +941,34 @@ object SparkEntry {
         |        FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
         |SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+        |       coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // duplicated-span removal: 16-token windows (1-based inclusive array
+    // slices), doc-frequency > 1, a token is dropped iff some flagged
+    // window of ITS OWN doc covers it, kept tokens re-joined in order
+    "q_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+        |           FROM documents),
+        |wins AS (
+        |  SELECT doc_id, s, array_to_string(w[s:s+15], ' ') AS win
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 15)) AS s
+        |        FROM d WHERE len(w) >= 16)),
+        |freq AS (SELECT win FROM wins GROUP BY win
+        |         HAVING count(DISTINCT doc_id) > 1),
+        |bad AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM freq)),
+        |toks AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i FROM d),
+        |keptTok AS (
+        |  SELECT t.doc_id, t.i FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |                    WHERE b.doc_id = t.doc_id
+        |                      AND t.i BETWEEN b.s AND b.s + 15)),
+        |agg AS (SELECT k.doc_id, count(*) AS n_kept,
+        |               string_agg(dd.w[k.i], ' ' ORDER BY k.i) AS text_clean
+        |        FROM keptTok k JOIN d dd ON k.doc_id = dd.doc_id
+        |        GROUP BY k.doc_id),
+        |tot AS (SELECT doc_id, len(w) AS n_tokens FROM d)
+        |SELECT t.doc_id, t.n_tokens, coalesce(a.n_kept, 0) AS n_kept,
         |       coalesce(a.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,

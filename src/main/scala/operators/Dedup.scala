@@ -754,6 +754,136 @@ object Dedup {
         concat_ws(sep, col("_kept")).as("text_clean"))
   }
 
+  /** 64-bit hash of the k-token window starting at `s` — computed by
+    * mixing per-token hashes, so detection never materializes window
+    * STRINGS (a k× text amplification at corpus scale); strings are built
+    * only for confirmed-hash hits.
+    */
+  private def spanHashAt(toks: Array[String], s: Int, k: Int): Long = {
+    var h = 1125899906842597L
+    var i = s
+    while (i < s + k) {
+      h = core.Lcg.mix(h, core.Murmur3.hashString(toks(i)).toLong)
+      i += 1
+    }
+    h
+  }
+
+  private def wsToksOf(t: String): Array[String] =
+    Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+
+  /** Corpus-wide duplicated-SPAN removal (the "exact substring" dedup of
+    * Lee et al. 2022 / RefinedWeb's ExactSubStr pass, token-windowed):
+    * drop every token covered by ANY `k`-token window whose exact text
+    * appears in more than `maxDocFreq` distinct documents, keeping each
+    * doc's remaining tokens in order. Catches copied PASSAGES inside
+    * otherwise-unique documents — the case whole-doc near-dedup (minhash)
+    * structurally misses. Returns (doc_id, n_tokens, n_kept, text_clean)
+    * for every input doc; docs with fewer than `k` tokens have no window
+    * and pass through whole.
+    *
+    * Scale shape, the same three-phase hash-prune / exact-confirm /
+    * broadcast-remove idiom as `dedupLinesCorpus`:
+    * 1. detection shuffles only (64-bit window hash, doc_id) pairs —
+    *    window hashes are mixed from per-token hashes, so no window
+    *    string is ever materialized corpus-wide;
+    * 2. the frequent HASHES (row-capped, loud) prune a second scan to
+    *    candidate windows, whose exact per-STRING doc-frequency is
+    *    recounted — a hash collision can promote a window into the
+    *    candidate set but never past the recount; the confirmed-string
+    *    set is row- AND byte-capped distributed before any collect;
+    * 3. removal is one map-side pass per doc: re-mix each window's hash
+    *    (cheap integer work), build the window string ONLY on a hash-set
+    *    hit, confirm against the string set, and mark the covered token
+    *    range — corpus text never shuffles.
+    * Exact string semantics end-to-end ⇒ DuckDB pins it as q_dedup_spans.
+    * Phases 1-2 run eagerly (cap-bounded collects); the returned
+    * DataFrame is lazy (the driver query wraps it in a LazyFrame).
+    */
+  def dedupSpansCorpus(docs: DataFrame, k: Int = 16, maxDocFreq: Int = 1,
+      maxFrequentSpans: Int = MaxFrequentLines,
+      maxFrequentBytes: Long = MaxFrequentLineBytes): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens: $k")
+    val spark = docs.sparkSession
+    val hashesUdf = udf((t: String) => {
+      val toks = wsToksOf(t)
+      if (toks.length < k) Array.empty[Long]
+      else Array.tabulate(toks.length - k + 1)(spanHashAt(toks, _, k))
+    })
+    // phase 1: heavy-hitter window hashes — 16-byte shuffle rows only
+    val freqHashes = docs
+      .select(col("doc_id"), explode(hashesUdf(col("text"))).as("_wh"))
+      .groupBy("_wh").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("_wh")
+      .limit(maxFrequentSpans + 1).collect().map(_.getLong(0))
+    require(freqHashes.length <= maxFrequentSpans,
+      s"dedupSpansCorpus: > $maxFrequentSpans frequent spans — the window " +
+        "definition is degenerate for this corpus")
+    def passthrough: DataFrame = {
+      val n = size(operators.TextAnalysis.wsTokens(col("text")))
+      docs.select(col("doc_id"), n.as("n_tokens"), n.as("n_kept"),
+        concat_ws(" ", operators.TextAnalysis.wsTokens(col("text"))).as("text_clean"))
+    }
+    if (freqHashes.isEmpty) return passthrough
+    // phase 2: exact per-STRING recount among hash hits (string built
+    // only for the sliver), rescuing 64-bit collisions
+    val hashSet = spark.sparkContext.broadcast(freqHashes.toSet)
+    val candSpansUdf = udf((t: String) => {
+      val toks = wsToksOf(t)
+      if (toks.length < k) Seq.empty[String]
+      else (0 to toks.length - k).iterator
+        .filter(s => hashSet.value.contains(spanHashAt(toks, s, k)))
+        .map(s => toks.slice(s, s + k).mkString(" "))
+        .toSeq
+    })
+    val freqSpansDf = docs
+      .select(col("doc_id"), explode(candSpansUdf(col("text"))).as("span"))
+      .groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("span")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqSpans =
+      try {
+        val stats = freqSpansDf
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("span"))), lit(0L)).as("bytes"))
+          .head()
+        require(stats.getLong(0) <= maxFrequentSpans,
+          s"dedupSpansCorpus: > $maxFrequentSpans confirmed frequent spans")
+        require(stats.getLong(1) <= maxFrequentBytes,
+          s"dedupSpansCorpus: confirmed span set is ${stats.getLong(1)} " +
+            s"bytes > cap $maxFrequentBytes")
+        freqSpansDf.collect().map(_.getString(0))
+      } finally freqSpansDf.unpersist()
+    if (freqSpans.isEmpty) return passthrough
+    // phase 3: map-side cover-and-drop — hash prefilter per window, string
+    // confirm on hits, tokens never shuffle
+    val spanSet = spark.sparkContext.broadcast(freqSpans.toSet)
+    val removeUdf = udf((t: String) => {
+      val toks = wsToksOf(t)
+      val n = toks.length
+      val cover = new Array[Boolean](n)
+      if (n >= k) {
+        var s = 0
+        while (s + k <= n) {
+          if (hashSet.value.contains(spanHashAt(toks, s, k)) &&
+              spanSet.value.contains(toks.slice(s, s + k).mkString(" "))) {
+            var i = s
+            while (i < s + k) { cover(i) = true; i += 1 }
+          }
+          s += 1
+        }
+      }
+      val kept = toks.indices.filterNot(cover)
+      (n, kept.length, kept.map(toks).mkString(" "))
+    })
+    docs
+      .select(col("doc_id"), removeUdf(col("text")).as("_r"))
+      .select(col("doc_id"), col("_r._1").as("n_tokens"),
+        col("_r._2").as("n_kept"), col("_r._3").as("text_clean"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap scan):
     * flag every corpus doc that shares at least one `n`-word-token n-gram
     * with any document of `bench` (the held-out eval set). Returns

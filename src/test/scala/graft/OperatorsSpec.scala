@@ -637,6 +637,61 @@ class OperatorsSpec extends AnyFunSuite {
       (14L, 1, 1, "solo line")))
   }
 
+  test("dedupSpansCorpus == a plain-Scala cover oracle; passage copies removed, short docs whole") {
+    import spark.implicits._
+    val k = 4
+    val passage = "p1 p2 p3 p4 p5" // 5 tokens → two 4-token windows
+    val d = Seq(
+      (1L, s"a1 a2 $passage a3 a4"),   // passage embedded mid-doc
+      (2L, s"$passage b1 b2 b3 b4 b5"), // passage at the head
+      (3L, "c1 c2 c3 c4 c5 c6 c7"),     // unique: untouched
+      (4L, "d1 d2 d3"),                 // < k tokens: no window, whole
+      (5L, passage)).toDF("doc_id", "text") // exactly the passage: emptied
+    val got = Dedup.dedupSpansCorpus(d, k = k, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 9, 4, "a1 a2 a3 a4"),
+      (2L, 10, 5, "b1 b2 b3 b4 b5"),
+      (3L, 7, 7, "c1 c2 c3 c4 c5 c6 c7"),
+      (4L, 3, 3, "d1 d2 d3"),
+      (5L, 5, 0, "")))
+
+    // fixture-level plain-Scala mirror (same window/cover definition)
+    val rows = docs.collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).toSeq
+    val kk = 16
+    def wins(toks: Seq[String]): Seq[(Int, String)] =
+      if (toks.size < kk) Nil
+      else (0 to toks.size - kk).map(s => (s, toks.slice(s, s + kk).mkString(" ")))
+    val docToks = rows.map { case (id, t) => id -> wsToks(t) }
+    val df = docToks.flatMap { case (id, ts) => wins(ts).map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val dup = df.collect { case (w, n) if n > 1 => w }.toSet
+    assert(dup.nonEmpty, "fixture+clones must yield duplicated spans")
+    val expected = docToks.map { case (id, ts) =>
+      val cover = Array.fill(ts.size)(false)
+      wins(ts).foreach { case (s, w) =>
+        if (dup(w)) (s until s + kk).foreach(cover(_) = true)
+      }
+      val kept = ts.indices.filterNot(cover)
+      (id, ts.size, kept.size, kept.map(ts).mkString(" "))
+    }.sortBy(_._1)
+    val gotFx = Dedup.dedupSpansCorpus(docs, k = kk, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(gotFx == expected)
+    assert(expected.exists { case (_, nt, nk, _) => nk < nt },
+      "no span was removed — planted duplicates should share windows")
+    // caps fail loudly
+    assert(intercept[IllegalArgumentException] {
+      Dedup.dedupSpansCorpus(docs, k = kk, maxFrequentSpans = 0)
+    }.getMessage.contains("frequent spans"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.dedupSpansCorpus(docs, k = kk, maxFrequentBytes = 1L)
+    }.getMessage.contains("bytes"))
+  }
+
   test("repetitionSignals == a plain-Scala word/bigram-mode oracle") {
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val expected = rows.flatMap { case (id, t) =>
