@@ -429,6 +429,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token-distribution drift between two corpus snapshots (pipeline
+    // monitoring): smoothed Jeffreys-KL + Jensen-Shannon over the union
+    // vocabulary — two map-combined word aggregates, one vocab join, one
+    // one-row reduction; micro-rounded for the exact compare
+    "q_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      operators.Importance.tokenDrift(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .select(col("n_tokens_a"), col("n_tokens_b"), col("n_vocab"),
+          round(col("kl_ab") * 1000000).cast("long").as("kl_ab_u"),
+          round(col("kl_ba") * 1000000).cast("long").as("kl_ba_u"),
+          round(col("js") * 1000000).cast("long").as("js_u"))
+    }),
+
+    // BM25 relevance against a fixed query-term set (the relevance-based
+    // selection scorer): corpus explode pruned map-side to the 3 query
+    // terms, |terms|-sized idf broadcast, doc lengths ride the groupBy
+    // key — text never shuffles; micro-rounded for the exact compare
+    "q_bm25" -> ((s, dir) =>
+      operators.TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select("doc_id", "text"),
+        Seq("spark", "window", "customer"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("score") * 1000000).cast("long").as("score_u"))
+        .orderBy("doc_id")),
+
     // per-source document cap: top-5 docs per source by (n_chars DESC,
     // doc_id ASC) via the bounded-heap TopKByScore agg — each task ships
     // ≤ k entries per source, no window funnel; DuckDB row_number oracle
@@ -1056,6 +1083,55 @@ object SparkEntry {
         |         CAST(target_tokens AS DOUBLE) / n_tokens) * 1000000)
         |         AS BIGINT) AS rate_ppm
         |FROM x ORDER BY source""".stripMargin,
+    // drift: identical smoothing ((c+1)/(T+V)) and ln; one output row
+    "q_drift" ->
+      """WITH wa AS (
+        |  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+        |                '[\p{L}\p{N}]+')) AS word
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |wb AS (
+        |  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+        |                '[\p{L}\p{N}]+')) AS word
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ca AS (SELECT word, count(*) AS ca FROM wa GROUP BY word),
+        |cb AS (SELECT word, count(*) AS cb FROM wb GROUP BY word),
+        |v AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ca FULL JOIN cb USING (word)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS A, CAST(sum(cb) AS BIGINT) AS B,
+        |             count(*) AS V FROM v),
+        |p AS (SELECT (ca + 1.0) / (A + V) AS pa, (cb + 1.0) / (B + V) AS pb,
+        |             A, B, V
+        |      FROM v, t)
+        |SELECT A AS n_tokens_a, B AS n_tokens_b, V AS n_vocab,
+        |       CAST(round(sum(pa * ln(pa / pb)) * 1000000) AS BIGINT) AS kl_ab_u,
+        |       CAST(round(sum(pb * ln(pb / pa)) * 1000000) AS BIGINT) AS kl_ba_u,
+        |       CAST(round(sum(pa * ln(2 * pa / (pa + pb)) / 2
+        |                      + pb * ln(2 * pb / (pa + pb)) / 2) * 1000000)
+        |            AS BIGINT) AS js_u
+        |FROM p GROUP BY A, B, V""".stripMargin,
+    // BM25: same tokenization, idf = ln(1+(N-df+0.5)/(df+0.5)),
+    // k1=1.2 b=0.75; unmatched docs score 0
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(lower(coalesce(text, '')), '[\p{L}\p{N}]+') AS w
+        |           FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM d)
+        |       WHERE word IN ('spark', 'window', 'customer')
+        |       GROUP BY doc_id, word),
+        |idf AS (SELECT word, ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |        FROM tf, stats GROUP BY word, n),
+        |sc AS (SELECT tf.doc_id,
+        |              sum(idf * tf * 2.2
+        |                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |       FROM tf JOIN idf USING (word) JOIN dl USING (doc_id), stats
+        |       GROUP BY tf.doc_id)
+        |SELECT l.doc_id, l.dl AS n_words,
+        |       CAST(round(coalesce(score, 0) * 1000000) AS BIGINT) AS score_u
+        |FROM dl l LEFT JOIN sc ON l.doc_id = sc.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     // per-source cap: row_number mirrors TopKByScore's ranking order
     // (score DESC, id ASC) exactly; the IS NOT NULL guard pins the
     // operator's null-scores-never-rank contract (no-op on this fixture,

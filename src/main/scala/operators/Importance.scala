@@ -101,4 +101,41 @@ object Importance {
       // n_feats, not n_words: a doc with n word tokens has 2n-1 features
       .agg(count(lit(1)).as("n_feats"), avg("_w").as("score"))
   }
+
+  /** Token-distribution drift between two corpus snapshots (the pipeline
+    * monitoring check "did this week's crawl change shape?"): symmetrized
+    * KL (Jeffreys) and Jensen-Shannon divergence between the two word
+    * distributions, add-one-smoothed over the union vocabulary so both
+    * are finite. Returns ONE row: (n_tokens_a, n_tokens_b, n_vocab,
+    * kl_ab, kl_ba, js); js ∈ [0, ln 2], 0 = identical shape.
+    *
+    * Scale shape: two word-count hash aggregates with map-side combine
+    * (the only corpus-sized work — 16-byte partial rows), one vocab-sized
+    * full join, one one-row reduction. For a bounded-state variant at any
+    * vocabulary size, pre-hash words to a fixed bucket space exactly as
+    * `importanceScoresHashed` does — the divergences then measure the
+    * hashed distributions (same fixed-size trade as DSIR).
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def counts(d: DataFrame, as: String): DataFrame =
+      d.select(explode(TextAnalysis.wordTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(as))
+    val vocab = counts(a, "ca").join(counts(b, "cb"), Seq("word"), "full")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = vocab.agg(sum("ca").as("_A"), sum("cb").as("_B"),
+      count(lit(1)).as("_V"))
+    val pa = (col("ca") + 1).cast("double") / (col("_A") + col("_V"))
+    val pb = (col("cb") + 1).cast("double") / (col("_B") + col("_V"))
+    val m = (pa + pb) / 2
+    vocab.crossJoin(broadcast(tot))
+      .select(col("_A"), col("_B"), col("_V"),
+        (pa * log(pa / pb)).as("_ab"), (pb * log(pb / pa)).as("_ba"),
+        (pa * log(pa / m) / 2 + pb * log(pb / m) / 2).as("_js"))
+      .groupBy("_A", "_B", "_V")
+      .agg(sum("_ab").as("kl_ab"), sum("_ba").as("kl_ba"),
+        sum("_js").as("js"))
+      .select(col("_A").as("n_tokens_a"), col("_B").as("n_tokens_b"),
+        col("_V").as("n_vocab"), col("kl_ab"), col("kl_ba"), col("js"))
+  }
 }

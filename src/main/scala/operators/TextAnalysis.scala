@@ -72,6 +72,54 @@ object TextAnalysis {
         (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
       x => x.isNotNull)
 
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the relevance-based data-selection scorer (rank training docs
+    * against a target topic / few-shot query before mixing). Terms are
+    * matched on lowercased word tokens; `idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5))` (the non-negative BM25+ variant), per-doc score =
+    * Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). Returns
+    * (doc_id, n_words, score) for EVERY doc — unmatched docs score 0.
+    *
+    * Scale shape: doc lengths are a pure projection; the corpus explode
+    * is filtered map-side to the query's terms BEFORE any shuffle, so the
+    * only corpus-sized work is one text scan and the tf aggregation
+    * carries ≤ |terms| rows per doc (dl rides the groupBy key — no
+    * doc-length join); N/avgdl are one collected row; the per-term idf
+    * table is |terms|-sized and broadcast. Corpus text never shuffles.
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: empty query-term set")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val docsW = docs.select(col("doc_id"),
+      size(wordTokens(col("text"))).as("dl"),
+      wordTokens(col("text")).as("_w"))
+    // one tiny collected row: corpus size + average doc length
+    val stats = docsW.agg(count(lit(1)).as("n"),
+      coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val tf = docsW
+      .select(col("doc_id"), col("dl"), explode(col("_w")).as("word"))
+      .filter(col("word").isin(qTerms: _*)) // map-side prune pre-shuffle
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .select(col("word"),
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5)
+          / (col("df") + 0.5)).as("idf"))
+    val denom = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * col("dl").cast("double") /
+        lit(if (avgdl > 0) avgdl else 1.0))
+    val scored = tf.join(broadcast(idf), "word")
+      .select(col("doc_id"),
+        (col("idf") * col("tf") * lit(k1 + 1) / denom).as("_s"))
+      .groupBy("doc_id").agg(sum("_s").as("score"))
+    docsW.select(col("doc_id"), col("dl").as("n_words"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** Gopher-style repetition signals per doc: total/distinct word counts,
     * the most-repeated word's count, the most-repeated word-bigram's
     * count, and an integer-arithmetic keep verdict (a doc dominated by one

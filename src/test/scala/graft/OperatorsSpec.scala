@@ -748,6 +748,80 @@ class OperatorsSpec extends AnyFunSuite {
       "clones of bench docs must be flagged") // 5 originals + 5 exact clones
   }
 
+  test("tokenDrift == a plain-Scala smoothed KL/JS oracle; identical corpora drift 0") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
+    val b = Seq((3L, "alpha alpha zeta"), (4L, "beta zeta zeta")).toDF("doc_id", "text")
+    def words(rows: Seq[String]): Map[String, Long] =
+      rows.flatMap(_.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ca, cb) = (words(Seq("alpha beta beta gamma", "alpha delta")),
+      words(Seq("alpha alpha zeta", "beta zeta zeta")))
+    val vocab = ca.keySet ++ cb.keySet
+    val (ta, tb, v) = (ca.values.sum, cb.values.sum, vocab.size.toLong)
+    val ps = vocab.toSeq.map { w =>
+      ((ca.getOrElse(w, 0L) + 1.0) / (ta + v), (cb.getOrElse(w, 0L) + 1.0) / (tb + v))
+    }
+    val klAb = ps.map { case (pa, pb) => pa * math.log(pa / pb) }.sum
+    val klBa = ps.map { case (pa, pb) => pb * math.log(pb / pa) }.sum
+    val js = ps.map { case (pa, pb) =>
+      val m = (pa + pb) / 2
+      pa * math.log(pa / m) / 2 + pb * math.log(pb / m) / 2
+    }.sum
+    val r = operators.Importance.tokenDrift(a, b).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((ta, tb, v)))
+    assert(math.abs(r.getDouble(3) - klAb) < 1e-12)
+    assert(math.abs(r.getDouble(4) - klBa) < 1e-12)
+    assert(math.abs(r.getDouble(5) - js) < 1e-12)
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= math.log(2) + 1e-12)
+    // identical corpora: every divergence is exactly 0 (log 1 terms)
+    val same = operators.Importance.tokenDrift(a, a).head()
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0
+      && same.getDouble(5) == 0.0)
+  }
+
+  test("bm25Scores == a plain-Scala BM25 oracle; unmatched docs score 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark window spark join"),
+      (2L, "window table scan"),
+      (3L, "zeta eta theta"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val terms = Seq("spark", "window")
+    def words(t: String): Seq[String] =
+      Option(t).getOrElse("").toLowerCase
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val rows = Seq((1L, "spark window spark join"), (2L, "window table scan"),
+      (3L, "zeta eta theta"), (4L, null: String))
+    val docWords = rows.map { case (id, t) => id -> words(t) }
+    val n = docWords.size
+    val avgdl = docWords.map(_._2.size).sum.toDouble / n
+    def df(t: String) = docWords.count(_._2.contains(t))
+    def idf(t: String) = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    val (k1, b) = (1.2, 0.75)
+    val expected = docWords.map { case (id, ws) =>
+      val dl = ws.size.toDouble
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+      }.sum
+      (id, ws.size.toLong, s)
+    }
+    val got = operators.TextAnalysis.bm25Scores(corpus, terms)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // relevance ordering: the doc with both terms (one twice) outranks the
+    // single-term doc; non-matching and null docs are exactly 0
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(1L) > byId(2L) && byId(2L) > 0)
+    assert(byId(3L) == 0.0 && byId(4L) == 0.0)
+  }
+
   // ---- corpus mixing plan / DSIR importance scores ----
 
   test("mixingPlan == a plain-Scala mirror on the fixture sources") {

@@ -137,7 +137,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // normalize the mixing plan and the DSIR weight table — a 1-row
     // broadcast NLJ is the cheapest possible way to attach a scalar).
     val bnljAllowed = Set("q_join_cross", "q_knn_brute", "q_knn_ivf",
-      "q_mix_plan", "q_dsir")
+      "q_mix_plan", "q_dsir", "q_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val txt = formatted(fn(spark, sf))
