@@ -27,15 +27,19 @@ object CapStats {
       .select("doc_id", "text")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    def one(tier: String, df: org.apache.spark.sql.DataFrame): String = {
+    def one(tier: String, cap: Int, df: org.apache.spark.sql.DataFrame): String = {
       val r = df.head()
-      s""""$tier":{"n_buckets":${r.getLong(0)},"n_capped":${r.getLong(1)},"max_bucket":${r.getLong(2)}}"""
+      s""""$tier":{"cap":$cap,"n_buckets":${r.getLong(0)},"n_capped":${r.getLong(1)},"max_bucket":${r.getLong(2)}}"""
     }
+    // caps are PER-TIER since round 7 (simhash's 4-chunk pigeonhole needs
+    // larger buckets than minhash's 16 bands — Dedup.SimhashMaxBucket)
     val parts = Seq(
-      one("minhash", operators.Dedup.bucketStats(docs)),
-      one("simhash", operators.Dedup.simhashBucketStats(docs)),
-      one("embedding", operators.Similarity.embeddingBucketStats(emb)))
-    println(s"""{"sf":"$sfDir","max_bucket_cap":${operators.Dedup.MaxBucket},${parts.mkString(",")}}""")
+      one("minhash", operators.Dedup.MaxBucket, operators.Dedup.bucketStats(docs)),
+      one("simhash", operators.Dedup.SimhashMaxBucket,
+        operators.Dedup.simhashBucketStats(docs)),
+      one("embedding", operators.Dedup.MaxBucket,
+        operators.Similarity.embeddingBucketStats(emb)))
+    println(s"""{"sf":"$sfDir",${parts.mkString(",")}}""")
     spark.stop()
   }
 }

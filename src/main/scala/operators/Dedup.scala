@@ -27,6 +27,21 @@ object Dedup {
   final val Rows = 4
   final val MaxBucket = 64
 
+  /** Per-tier cap for the SIMHASH chunk buckets. The minhash tier spreads
+    * docs over 16 bands × a 64-bit key space and a pair lost to one band's
+    * hot bucket has 15 more chances, so MaxBucket=64 loses essentially
+    * nothing (measured: 0 capped buckets at sf0.1). The simhash tier has
+    * only FOUR 16-bit chunks — a much smaller key space (boilerplate-heavy
+    * corpora concentrate near-identical docs into shared chunk buckets;
+    * measured: 6/10,781 buckets capped at 64, max 163 at sf0.1) and only
+    * 3 other chunks to rescue a dropped pair, so its cap must be larger.
+    * 256 clears the sf0.1 maximum with headroom; per-bucket pair work is
+    * bounded at 256²/2 = 32,640 candidate pairs — still trivially small
+    * next to a corpus-sized shuffle. Recall under both caps is MEASURED
+    * (graft.CapRecall; BENCH/BASELINE.md), not asserted.
+    */
+  final val SimhashMaxBucket = 256
+
   private val bandKeysUdf = udf((text: String) =>
     Shingles.bandKeys(
       Shingles.minhashSignature(Shingles.wordShingles(text, ShingleN), MinhashK),
@@ -48,13 +63,19 @@ object Dedup {
     } yield (ids(i), ids(j)))
 
   /** Candidate pairs from bucketed keys: groupBy bucket → in-bucket pairs.
-    * Shared by minhash / simhash / embedding-LSH dedup tiers.
+    * Shared by minhash / simhash / embedding-LSH dedup tiers; `maxBucket`
+    * is per-tier (simhash's 4-chunk pigeonhole needs larger buckets than
+    * minhash's 16 bands — see `SimhashMaxBucket`). `collect_set` (not
+    * `_list`): a doc_id appearing twice under one key (e.g. a replayed
+    * band-index append) must not inflate the bucket size or emit self
+    * pairs — set semantics are identical on unique inputs.
     */
-  private[operators] def pairsFromKeys(keyed: DataFrame): DataFrame =
+  private[operators] def pairsFromKeys(keyed: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
     keyed // (doc_id, band_key)
       .groupBy("band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
@@ -103,7 +124,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhash candidate generation uses 4 chunks => maxHamming ≤ 3, got $maxHamming")
     val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
-    val cand = pairsFromKeys(simhashKeys(docs))
+    val cand = pairsFromKeys(simhashKeys(docs), SimhashMaxBucket)
     cand
       .join(sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
@@ -504,17 +525,32 @@ object Dedup {
     * Dedup.writeBandIndex(accepted, idxPath) // append survivors' keys
     * }}}
     *
-    * PRECONDITION for exactness: `history` is internally near-dup-free at
-    * the same (tau, signature) parameters — true by construction when
-    * history is the accumulated accepted output of this operator (or of
-    * `dropNearDuplicates`). Then the batch-restricted result EQUALS the
-    * full batch recompute `dropNearDuplicates(history ∪ incoming, tau)
-    * ∩ incoming` (asserted against that oracle in OperatorsSpec and
-    * golden-pinned as q_dedup_inc_near): only buckets containing a batch
-    * doc can contribute a new verified edge, and the semi-probe recovers
-    * those buckets' history members exactly. Without the precondition a
-    * history-history edge in an UNPROBED bucket could reroute a
-    * component's canonical — the operator never sees those buckets.
+    * Canonicalization is HISTORY-WINS: a batch doc whose near-dup
+    * component contains ANY history member is dropped — regardless of
+    * doc_id order — because a history doc is already accepted/published
+    * and can never be retracted by a later batch; among batch-only
+    * components the min-doc_id member survives (same rule as
+    * `dropNearDuplicates`). History-wins is what makes the operator's
+    * PRECONDITION — `history` internally near-dup-free at the same
+    * (tau, signature) parameters — genuinely preserved by the documented
+    * append flow: every survivor is (verified-edge-wise) non-near-dup to
+    * history AND to its fellow survivors, so history ∪ survivors is again
+    * near-dup-free. (Min-id canonicalization did NOT preserve it: a batch
+    * survivor with a smaller id than its retained history near-dup would
+    * plant a history-history near-pair whose bucket a later batch never
+    * probes, silently rerouting that component's canonical.)
+    *
+    * Under the precondition, when every batch doc_id exceeds every
+    * history doc_id (the natural monotone-id ingest — and what the
+    * append flow produces when ids are assigned by arrival), the result
+    * EQUALS the full recompute `dropNearDuplicates(history ∪ incoming,
+    * tau) ∩ incoming`: a mixed component's min id is necessarily a
+    * history doc, so min-id and history-wins agree (asserted against
+    * that oracle in OperatorsSpec; the interleaved-id case is asserted
+    * against an independent history-wins reference and golden-pinned as
+    * q_dedup_inc_near). Only buckets containing a batch doc can
+    * contribute a new verified edge, and the semi-probe recovers those
+    * buckets' history members exactly.
     *
     * Scale shape (what never happens to the 100 TB side):
     * 1. the batch's distinct band keys prune the INDEX scan — broadcast
@@ -551,10 +587,16 @@ object Dedup {
       val probe = inKeys.select("band_key").distinct()
       // semi-prune the index to probed buckets: the index side streams
       // through its scan, only probed-bucket rows continue
+      // the probed sliver is deduped on (doc_id, band_key): a replayed
+      // index append (crash between the index write and the history
+      // append — see TranscriptStream.processNearDedupBatch) can leave a
+      // doc's keys in the index twice, and collect_set in pairsFromKeys
+      // plus this distinct make that harmless instead of bucket-inflating
       val relIdx = index.join(
           if (small) broadcast(probe) else probe.hint("shuffle_hash"),
           Seq("band_key"), "left_semi")
         .select("doc_id", "band_key")
+        .distinct()
       pairsFromKeys(relIdx.unionByName(inKeys)).persist(lvl)
     }
     try {
@@ -591,8 +633,23 @@ object Dedup {
         .select("doc_a", "doc_b")
       // CC localCheckpoints its result, so the caches can be released as
       // soon as the convergence loop has run
-      val losers = connectedComponents(verified)
-        .filter(col("doc_id") =!= col("component"))
+      val labels = connectedComponents(verified)
+      // history-wins canonicalization (see the contract note above). CC
+      // vertices are candidate-sliver-sized, so these joins are tiny; a
+      // vertex is a history member iff its id is not a batch id.
+      val flagged = labels
+        .join(if (nIn <= maxBroadcastSuspects)
+                broadcast(inIds.withColumn("_b", lit(true)))
+              else inIds.withColumn("_b", lit(true)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component"),
+          coalesce(col("_b"), lit(false)).as("_isBatch"))
+      val comps = flagged.groupBy("component")
+        .agg(max(when(!col("_isBatch"), 1).otherwise(0)).as("_hasHist"),
+          min(when(col("_isBatch"), col("doc_id"))).as("_minBatch"))
+      val losers = flagged.filter(col("_isBatch"))
+        .join(comps, "component")
+        .filter(col("_hasHist") === 1 || col("doc_id") =!= col("_minBatch"))
         .select("doc_id")
       histCandIds.unpersist()
       incoming.join(losers, Seq("doc_id"), "left_anti")
@@ -976,19 +1033,20 @@ object Dedup {
   /** MaxBucket-cap observability over any pre-keyed (doc_id, band_key)
     * tier — "no silent truncation" holds for minhash, simhash AND the
     * embedding-LSH tier (Similarity.embeddingBucketStats): any bucket
-    * `pairsFromKeys` would drop shows up in n_capped.
+    * `pairsFromKeys` would drop at this tier's cap shows up in n_capped.
     */
-  def bucketStatsFromKeys(keyed: DataFrame): DataFrame =
+  def bucketStatsFromKeys(keyed: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
     keyed.groupBy("band_key").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
-        sum(when(col("n") > MaxBucket, 1).otherwise(0)).as("n_capped"),
+        sum(when(col("n") > maxBucket, 1).otherwise(0)).as("n_capped"),
         max("n").as("max_bucket"))
 
   /** Cap observability for the minhash tier. */
   def bucketStats(docs: DataFrame): DataFrame =
     bucketStatsFromKeys(minhashKeys(docs))
 
-  /** Cap observability for the simhash tier. */
+  /** Cap observability for the simhash tier (at ITS cap, SimhashMaxBucket). */
   def simhashBucketStats(docs: DataFrame): DataFrame =
-    bucketStatsFromKeys(simhashKeys(docs))
+    bucketStatsFromKeys(simhashKeys(docs), SimhashMaxBucket)
 }

@@ -377,13 +377,18 @@ class OperatorsSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
-  test("incrementalNewNear == dropNearDuplicates(history ∪ batch) restricted to the batch") {
+  test("incrementalNewNear == dropNearDuplicates(history ∪ batch) restricted to the batch (monotone ids)") {
     val base = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     // history honors the operator's precondition: it is the accepted
-    // output of the same near-dedup at the same tau
+    // output of the same near-dedup at the same tau. Batch ids are all
+    // GREATER than history ids (the natural monotone-id ingest) — the
+    // regime where history-wins canonicalization coincides with the
+    // full-recompute min-id oracle (a mixed component's min id is
+    // necessarily a history doc).
     val history = Dedup.dropNearDuplicates(
       base.filter(col("doc_id") % 4 =!= 0), 0.8).localCheckpoint(true)
     val batch = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       .unionByName(history.filter(col("doc_id") < 40)
         .select((col("doc_id") + 3000000).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text")))
@@ -428,6 +433,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3 == want3)
     assert(got3.size < batch2Ids.size,
       "second-batch near-clones of accepted docs must be rejected")
+  }
+
+  test("incrementalNewNear interleaved ids == the independent history-wins reference") {
+    // batch ids interleaved below/among history ids (the driver fixture's
+    // shape): the result must match a reference that computes the FULL
+    // pair graph over history ∪ batch and applies history-wins — every
+    // batch doc in a component touching history drops, batch-only
+    // components keep their min id. (Under the precondition there are no
+    // history-history verified edges, so the full graph and the probed
+    // graph have identical components.)
+    val base = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val history = Dedup.dropNearDuplicates(
+      base.filter(col("doc_id") % 4 =!= 0), 0.8).localCheckpoint(true)
+    // planted near-clones of history docs at NEGATIVE ids: guaranteed
+    // smaller than every history id, so the components they join have a
+    // batch min — exactly where min-id and history-wins disagree
+    val batch = base.filter(col("doc_id") % 4 === 0)
+      .unionByName(history.filter(col("doc_id") < 40)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+      .localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = ids(Dedup.incrementalNewNear(
+      Dedup.bandIndexFor(history), history, batch, 0.8))
+    val batchIds = ids(batch).toSet
+    val histIds = ids(history).toSet
+    val comp = Dedup.connectedComponents(
+      Dedup.nearDuplicates(history.unionByName(batch), 0.8)
+        .select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byComp = comp.groupBy(_._2).values
+    val losers = byComp.flatMap { members =>
+      val ms = members.map(_._1)
+      val batchMs = ms.filter(batchIds)
+      if (ms.exists(histIds)) batchMs // history-wins: all batch members drop
+      else batchMs.filterNot(_ == batchMs.min) // batch-only: keep min id
+    }.toSet
+    val want = ids(batch).filterNot(losers)
+    assert(got == want, s"${got.size} vs ${want.size} survivors")
+    // the fixture must actually exercise the history-wins branch: a mixed
+    // component whose MIN id is a batch doc (where min-id canonicalization
+    // would have kept the batch doc and poisoned history)
+    assert(byComp.exists { members =>
+      val ms = members.map(_._1)
+      ms.exists(histIds) && batchIds(ms.min)
+    }, "no mixed component with a batch min id — the branch never fired")
+    assert(got.forall(_ >= 0), "a planted smaller-id near-clone survived")
+  }
+
+  test("incrementalNewNear preserves its precondition (the two-batch poisoned-history shape)") {
+    import spark.implicits._
+    // ADVICE r6 scenario: batch doc x has a SMALLER id than its history
+    // near-dup h. Min-id canonicalization kept x, planting the history-
+    // history near-pair (x, h) that a later batch never probes; history-
+    // wins drops x, so accumulated history stays near-dup-free.
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val history = Seq((10L, textA)).toDF("doc_id", "text")
+    val batch1 = Seq((5L, textA + " extra")).toDF("doc_id", "text")
+    val acc1 = Dedup.incrementalNewNear(
+      Dedup.bandIndexFor(history), history, batch1, 0.8)
+    assert(acc1.count() == 0,
+      "a batch near-dup of a history doc must drop even with a smaller id")
+    // history unchanged (nothing accepted); a second batch near-dup of the
+    // same history doc is also dropped, and agrees with the full recompute
+    val batch2 = Seq((20L, textA + " more")).toDF("doc_id", "text")
+    val acc2 = Dedup.incrementalNewNear(
+      Dedup.bandIndexFor(history), history, batch2, 0.8)
+    assert(acc2.count() == 0)
+    assert(Dedup.dropNearDuplicates(history.unionByName(batch2), 0.8)
+      .filter(col("doc_id") === 20L).count() == 0)
+    // and an unrelated batch doc still passes
+    val batch3 = Seq((21L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalNewNear(
+      Dedup.bandIndexFor(history), history, batch3, 0.8).count() == 1)
   }
 
   test("incrementalNewNear: history text is read only for candidate ids (never for a candidate-free batch)") {
@@ -1200,8 +1281,14 @@ class OperatorsSpec extends AnyFunSuite {
     val mh = Dedup.bucketStats(hotDocs).head()
     assert(mh.getLong(1) >= 1, s"minhash n_capped=${mh.getLong(1)}")
     assert(mh.getLong(2) == over.toLong)
-    val sh = Dedup.simhashBucketStats(hotDocs).head()
+    // simhash has its own (larger) cap — breach THAT one
+    val overSim = Dedup.SimhashMaxBucket + 6
+    val hotSim = (0 until overSim).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashBucketStats(hotSim).head()
     assert(sh.getLong(1) >= 1, s"simhash n_capped=${sh.getLong(1)}")
+    assert(Dedup.simhashBucketStats(hotDocs).head().getLong(1) == 0,
+      s"${over} identical docs must NOT breach the simhash tier's larger cap")
     // embedding tier: `over` identical vectors share every table's bucket
     val v = emb.select("vec_id", "embedding").head().getSeq[Float](1).toArray
     val hotVecs = (0 until over).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
