@@ -76,7 +76,15 @@ object Bench {
     * record self-marks `"degraded":true` so it is never read as a
     * healthy measurement.
     */
-  private val HealthyCalibSec = 0.41
+  /** Overridable via SPARK_GRAFT_CALIB_REF: the pinned 0.41 s reference is
+    * THIS host's healthy single-thread time — on a slower-but-healthy
+    * machine every sweep would double-run and self-mark degraded, and on a
+    * much faster host the gate would be dead. The reference actually used
+    * is recorded in the emitted JSON (`calib_ref_sec`) so degraded
+    * classifications stay interpretable off-host.
+    */
+  private val HealthyCalibSec =
+    sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble).getOrElse(0.41)
   private val DegradedCalibFactor = 1.5
   private def isDegraded(calibMax: Double): Boolean =
     calibMax > DegradedCalibFactor * HealthyCalibSec
@@ -209,7 +217,7 @@ object Bench {
     // headline calibration = the WORSE of the kept sweep's two brackets: a
     // mid-sweep degradation episode must surface in the summary field, not
     // be masked by a healthy start
-    println(s"""{"metric":"total","value":${sweep.total},"unit":"sec","failed_queries":${sweep.nFailed},"queries":$qs,"reruns":$rr,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":${sweep.turnsIn},"pipeline_turns_kept":${sweep.kept},"pipeline_cold_sec":${sweep.coldSec},"pipeline_sec":${sweep.steadySec},"turns_per_sec":$turnsPerSec,"host_calibration_sec":${sweep.calibMax},"host_calibration_pre_sec":${sweep.calibPre},"host_calibration_post_sec":${sweep.calibPost},"degraded":$degraded,"sweep_attempts":$attempts}""")
+    println(s"""{"metric":"total","value":${sweep.total},"unit":"sec","failed_queries":${sweep.nFailed},"queries":$qs,"reruns":$rr,"sf":"$sfDir","cpus":$cpus,"pipeline_turns_in":${sweep.turnsIn},"pipeline_turns_kept":${sweep.kept},"pipeline_cold_sec":${sweep.coldSec},"pipeline_sec":${sweep.steadySec},"turns_per_sec":$turnsPerSec,"host_calibration_sec":${sweep.calibMax},"host_calibration_pre_sec":${sweep.calibPre},"host_calibration_post_sec":${sweep.calibPost},"calib_ref_sec":$HealthyCalibSec,"degraded":$degraded,"sweep_attempts":$attempts}""")
     spark.stop()
   }
 }

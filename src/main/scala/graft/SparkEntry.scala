@@ -447,14 +447,18 @@ object SparkEntry {
     // BM25 relevance against a fixed query-term set (the relevance-based
     // selection scorer): corpus explode pruned map-side to the 3 query
     // terms, |terms|-sized idf broadcast, doc lengths ride the groupBy
-    // key — text never shuffles; micro-rounded for the exact compare
+    // key, N/avgdl fold in as a lazy one-row broadcast — text never
+    // shuffles and construction runs no job (the LazyFrame defers even
+    // the parquet footer read); micro-rounded for the exact compare
     "q_bm25" -> ((s, dir) =>
-      operators.TextAnalysis.bm25Scores(
-        t(s, dir, "documents").select("doc_id", "text"),
-        Seq("spark", "window", "customer"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("score") * 1000000).cast("long").as("score_u"))
-        .orderBy("doc_id")),
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_words", IntegerType), StructField("score_u", LongType)))) {
+        operators.TextAnalysis.bm25Scores(
+          t(s, dir, "documents").select("doc_id", "text"),
+          Seq("spark", "window", "customer"))
+          .select(col("doc_id"), col("n_words"),
+            round(col("score") * 1000000).cast("long").as("score_u"))
+      }.orderBy("doc_id")),
 
     // per-source document cap: top-5 docs per source by (n_chars DESC,
     // doc_id ASC) via the bounded-heap TopKByScore agg — each task ships

@@ -84,7 +84,11 @@ object TextAnalysis {
     * is filtered map-side to the query's terms BEFORE any shuffle, so the
     * only corpus-sized work is one text scan and the tf aggregation
     * carries ≤ |terms| rows per doc (dl rides the groupBy key — no
-    * doc-length join); N/avgdl are one collected row; the per-term idf
+    * doc-length join); N/avgdl fold in LAZILY as a broadcast one-row
+    * aggregate (the tokenDrift idiom — a 1-row broadcast NLJ is the
+    * cheapest way to attach a scalar), so CONSTRUCTING the frame runs no
+    * corpus scan: an explain-only consumer pays nothing, honoring the
+    * zero-jobs-at-planning contract (PlanShapeSpec). The per-term idf
     * table is |terms|-sized and broadcast. Corpus text never shuffles.
     */
   def bm25Scores(docs: DataFrame, terms: Seq[String],
@@ -94,23 +98,25 @@ object TextAnalysis {
     val docsW = docs.select(col("doc_id"),
       size(wordTokens(col("text"))).as("dl"),
       wordTokens(col("text")).as("_w"))
-    // one tiny collected row: corpus size + average doc length
-    val stats = docsW.agg(count(lit(1)).as("n"),
-      coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl")).head()
-    val n = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    // one-ROW (never collected) frame: corpus size + average doc length
+    val stats = docsW.agg(count(lit(1)).as("_n"),
+      coalesce(avg(col("dl").cast("double")), lit(0.0)).as("_avgdl"))
     val tf = docsW
       .select(col("doc_id"), col("dl"), explode(col("_w")).as("word"))
       .filter(col("word").isin(qTerms: _*)) // map-side prune pre-shuffle
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
       .select(col("word"),
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5)
+        log(lit(1.0) + (col("_n").cast("double") - col("df") + 0.5)
           / (col("df") + 0.5)).as("idf"))
+    // an empty corpus has avgdl 0; the guard keeps the denominator finite
+    // (same contract as the old literal `if (avgdl > 0) avgdl else 1.0`)
+    val safeAvgdl = when(col("_avgdl") > 0, col("_avgdl")).otherwise(lit(1.0))
     val denom = col("tf") + lit(k1) *
-      (lit(1 - b) + lit(b) * col("dl").cast("double") /
-        lit(if (avgdl > 0) avgdl else 1.0))
-    val scored = tf.join(broadcast(idf), "word")
+      (lit(1 - b) + lit(b) * col("dl").cast("double") / safeAvgdl)
+    val scored = tf.crossJoin(broadcast(stats))
+      .join(broadcast(idf), "word")
       .select(col("doc_id"),
         (col("idf") * col("tf") * lit(k1 + 1) / denom).as("_s"))
       .groupBy("doc_id").agg(sum("_s").as("score"))

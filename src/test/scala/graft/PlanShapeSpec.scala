@@ -85,7 +85,7 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       Seq("q_dedup_groups", "q_dedup_lines", "q_dedup_lines_nl",
-        "q_dedup_inc_near").foreach { q =>
+        "q_dedup_inc_near", "q_bm25").foreach { q =>
         // force full planning, not just construction
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       }
@@ -126,6 +126,23 @@ class PlanShapeSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("LazyFrame")), messages(e).mkString("; "))
+  }
+
+  test("bm25's raw plan: no cartesian; NLJs are only the one-row scalar attaches") {
+    // q_bm25 is LazyFrame-wrapped (its inner plan is opaque to the sweep
+    // below), so the unwrapped operator frame is audited directly: the
+    // lazy N/avgdl fold must appear as ≤2 one-row broadcast NLJs (idf and
+    // the scored projection), never a CartesianProduct
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val txt = formatted(
+      operators.TextAnalysis.bm25Scores(docs, Seq("spark", "data")))
+    assert(!txt.contains("CartesianProduct"), txt)
+    // formatted mode lists each node twice (tree + detail); count the
+    // detail headers "(n) BroadcastNestedLoopJoin" so each node counts once
+    val bnlj = txt.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(bnlj <= 2, s"expected at most 2 one-row scalar-attach NLJs, got $bnlj:\n$txt")
   }
 
   test("no CartesianProduct outside the explicit cross-join demo") {
