@@ -163,6 +163,98 @@ object TranscriptStream {
     } finally fresh.unpersist()
   }
 
+  /** Corpus-lifetime streaming NEAR-dedup — the streaming face of
+    * `Dedup.incrementalNewNear`, completing the dedup story the exact
+    * tier above starts: `dedupNewTexts` rejects byte-identical repeats,
+    * but a production stream also re-delivers LIGHTLY EDITED copies
+    * (boilerplate re-crawls, syndicated articles), which only the
+    * near-dup tier catches. Stream rows must carry (doc_id: long,
+    * text: string) — near-dedup is a document-pipeline operator (the
+    * band index and the duplicate components are keyed on doc ids).
+    *
+    * Per micro-batch (foreachBatch), via `processNearDedupBatch`:
+    * EXACT stage first (in-batch text dedup → bloom prefilter → hashed
+    * confirm against history — identical protocol to the exact tier,
+    * and the reason replays are idempotent), then the NEAR stage probes
+    * the persisted band-key index (`Dedup.incrementalNewNear` —
+    * history-wins, so an already-accepted doc is never retracted), then
+    * three state writes IN THIS ORDER:
+    *   1. the merged bloom (claiming the accepted texts),
+    *   2. the band-index append (the accepted docs' keys),
+    *   3. the history append (the accepted rows, with `_h`).
+    * Crash safety mirrors the exact tier's bloom-first rationale: every
+    * prefix of the order leaves state that OVER-claims, which a replay
+    * repairs — the exact confirm finds no history row (texts pass), the
+    * phantom index keys carry the replayed batch's own ids (excluded
+    * from the history-candidate probe) and duplicate index keys are
+    * deduped at probe time (collect_set + the sliver distinct), so the
+    * batch lands exactly once. Any reversed order would leak: history
+    * rows missing from the index would never again surface as near-dup
+    * candidates, admitting their future near-clones forever.
+    */
+  def dedupNearNewTexts(stream: DataFrame, outDir: String, stateDir: String,
+      expectedItems: Long, tau: Double, fpp: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processNearDedupBatch(batch.toDF(), outDir, stateDir, expectedItems,
+          tau, fpp)
+    }
+
+  /** One micro-batch of the corpus-lifetime NEAR-dedup — public so
+    * batch-mode callers and the crash-window spec drive the identical
+    * protocol (see `dedupNearNewTexts` for the write-order contract).
+    */
+  def processNearDedupBatch(batch: DataFrame, outDir: String,
+      stateDir: String, expectedItems: Long, tau: Double,
+      fpp: Double = 0.01): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    val bloomPath = s"$stateDir/history.bloom"
+    val bandPath = s"$stateDir/band_index"
+    val bloom =
+      if (Files.exists(Paths.get(bloomPath))) operators.Dedup.readBloom(bloomPath)
+      else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val history =
+      if (fs.exists(outP)) spark.read.parquet(outDir)
+      else operators.Dedup.withTextHash(batch.select("doc_id", "text").limit(0))
+    // exact stage (null texts dropped, one id per in-batch text — the
+    // accepted TEXT set is deterministic, the surviving id of an in-batch
+    // exact-dup group is source-order-dependent, same as the exact tier)
+    val fresh = operators.Dedup.incrementalNewHashed(bloom,
+      history.select("_h", "text"),
+      batch.filter(col("text").isNotNull).dropDuplicates("text")
+        .select("doc_id", "text"))
+      .persist()
+    try {
+      if (fresh.count() == 0) return
+      val index =
+        if (fs.exists(new org.apache.hadoop.fs.Path(bandPath)))
+          operators.Dedup.readBandIndex(spark, bandPath)
+        else operators.Dedup.bandIndexFor(fresh.limit(0))
+      val accepted = operators.Dedup.incrementalNewNear(index,
+        history.select("doc_id", "text"), fresh, tau).persist()
+      try {
+        if (accepted.count() == 0) return
+        // state writes — ORDER IS THE CONTRACT (see dedupNearNewTexts)
+        operators.Dedup.writeBloom(
+          operators.Dedup.mergeBlooms(
+            operators.Dedup.historyBloom(accepted, expectedItems, fpp,
+              knownNonEmpty = true), bloom),
+          bloomPath)
+        operators.Dedup.writeBandIndex(accepted, bandPath)
+        // a crash mid-append can orphan a _temporary task dir (same
+        // rescue as the exact tier)
+        val tmpP = new org.apache.hadoop.fs.Path(outP, "_temporary")
+        if (fs.exists(tmpP) && !fs.delete(tmpP, true) && fs.exists(tmpP))
+          sys.error(s"processNearDedupBatch: could not clear stale $tmpP")
+        operators.Dedup.withTextHash(accepted)
+          .write.mode("append").parquet(outDir)
+      } finally accepted.unpersist()
+    } finally fresh.unpersist()
+  }
+
   /** S4: conversation sessionization by 30-minute inactivity gap. */
   def sessions(turns: DataFrame): DataFrame =
     turns

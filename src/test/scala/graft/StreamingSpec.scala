@@ -223,6 +223,120 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("text") === "gamma").count() == 1)
   }
 
+  test("corpus-lifetime streaming NEAR-dedup: accepted set == the batch-sequential incrementalNewNear fold, across restarts") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_sneardedup").toString
+    val (outDir, stateDir) = (s"$base/out", s"$base/state")
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val B = "one two three four five six seven eight nine ten eleven twelve"
+    val C = "red orange yellow green blue indigo violet cyan magenta white black"
+    val D = "north south east west up down left right forward backward sideways"
+    val batches = Seq(
+      // in-batch near-clone (3 ≈ 1): batch-only component keeps min id 1
+      Seq((1L, A), (2L, B), (3L, A + " extra")),
+      // near-clone of accepted history (4 ≈ 1), a new text, an exact
+      // re-delivery of B under a new id (exact stage drops it)
+      Seq((4L, A + " more"), (5L, C), (6L, B)),
+      // after a RESTART: near-clone of 5, plus a genuinely new text
+      Seq((7L, C + " tail"), (8L, D)))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = streaming.TranscriptStream.dedupNearNewTexts(
+      mem.toDF().toDF("doc_id", "text"), outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+      .option("checkpointLocation", s"$base/ck1").start()
+    try {
+      mem.addData(batches(0): _*); q.processAllAvailable()
+      mem.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // restarted query, fresh checkpoint (batch ids from 0 again) — the
+    // persisted bloom + band index ARE the state, not the checkpoint
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = streaming.TranscriptStream.dedupNearNewTexts(
+      mem2.toDF().toDF("doc_id", "text"), outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+      .option("checkpointLocation", s"$base/ck2").start()
+    try { mem2.addData(batches(2): _*); q2.processAllAvailable() } finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // reference: the batch-sequential fold of the SAME protocol in batch
+    // mode (exact stage = text dropDuplicates + anti vs history texts,
+    // then incrementalNewNear against the accumulating band index)
+    var hist = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    batches.foreach { b =>
+      val bd = b.toDF("doc_id", "text").dropDuplicates("text")
+        .join(hist.select("text"), Seq("text"), "left_anti")
+        .select("doc_id", "text")
+      val acc = operators.Dedup.incrementalNewNear(
+        operators.Dedup.bandIndexFor(hist), hist, bd, 0.8)
+      hist = hist.unionByName(acc).localCheckpoint(true)
+    }
+    val wantIds = hist.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotIds == wantIds, s"stream $gotIds vs fold $wantIds")
+    assert(gotIds == Seq(1L, 2L, 5L, 8L),
+      s"near-clones (3, 4, 7) and the exact re-delivery (6) must drop: $gotIds")
+    // the band index carries exactly the accepted docs' keys (each doc
+    // Bands times), so the next batch probes the full accepted corpus
+    val idx = operators.Dedup.readBandIndex(spark, s"$stateDir/band_index")
+    assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == gotIds)
+    assert(idx.count() == gotIds.size.toLong * operators.Dedup.Bands)
+    // and a replayed LAST batch (at-least-once redelivery) appends nothing
+    streaming.TranscriptStream.processNearDedupBatch(
+      batches(2).toDF("doc_id", "text"), outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+    assert(spark.read.parquet(outDir).count() == 4)
+  }
+
+  test("streaming NEAR-dedup crash window: bloom+index-written-but-rows-not-appended is rescued") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ncrash").toString
+    val (outDir, stateDir) = (s"$base/out", s"$base/state")
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val C = "red orange yellow green blue indigo violet cyan magenta white black"
+    streaming.TranscriptStream.processNearDedupBatch(
+      Seq((1L, A)).toDF("doc_id", "text"), outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+    // emulate a crash AFTER write steps 1-2 (bloom + band index) of batch
+    // 2 but BEFORE the history append: the accepted set would be {3}
+    // (4 is a near-clone of history doc 1)
+    val b2 = Seq((3L, C), (4L, A + " extra")).toDF("doc_id", "text")
+    val wouldAccept = Seq((3L, C)).toDF("doc_id", "text")
+    operators.Dedup.writeBloom(
+      operators.Dedup.mergeBlooms(
+        operators.Dedup.historyBloom(wouldAccept, expectedItems = 10000),
+        operators.Dedup.readBloom(s"$stateDir/history.bloom")),
+      s"$stateDir/history.bloom")
+    operators.Dedup.writeBandIndex(wouldAccept, s"$stateDir/band_index")
+    // replay of batch 2: doc 3 is bloom-claimed (suspect) but has no
+    // history row — the exact confirm passes it; its phantom index keys
+    // are its own id (excluded from the history-candidate probe); doc 4
+    // is still near-rejected. Appended exactly once.
+    streaming.TranscriptStream.processNearDedupBatch(b2, outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // the index now carries doc 3's keys TWICE (crash replay) — probe-time
+    // dedup must keep that harmless: a near-clone of C is still rejected
+    // and nothing is double-appended
+    val idx = operators.Dedup.readBandIndex(spark, s"$stateDir/band_index")
+    assert(idx.filter(col("doc_id") === 3L).count() ==
+      2L * operators.Dedup.Bands)
+    streaming.TranscriptStream.processNearDedupBatch(
+      Seq((9L, C + " tail")).toDF("doc_id", "text"), outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+    assert(spark.read.parquet(outDir).count() == 2)
+    // and a full replay of batch 2 after success appends nothing
+    streaming.TranscriptStream.processNearDedupBatch(b2, outDir, stateDir,
+      expectedItems = 10000, tau = 0.8)
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
   test("streaming dedup crash window: bloom-written-but-rows-not-appended is rescued") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_crash").toString
