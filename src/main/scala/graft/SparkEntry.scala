@@ -460,6 +460,24 @@ object SparkEntry {
             round(col("score") * 1000000).cast("long").as("score_u"))
       }.orderBy("doc_id")),
 
+    // cluster-balanced diversity sampling (the coverage complement to
+    // SemDeDup): top-5 per embedding cluster by a deterministic
+    // id-scramble score, via the same bounded-heap aggregate as
+    // q_source_cap. The cid here is a SQL-expressible stand-in
+    // assignment (first embedding component, milli-bucketed mod 16) so
+    // DuckDB pins the full row_number-per-cid contract end-to-end; the
+    // REAL IVF-assignment path is asserted in OperatorsSpec (its cid
+    // values are model-derived and not SQL-expressible)
+    "q_cluster_sample" -> ((s, dir) => {
+      val assigned = t(s, dir, "embeddings").select(col("vec_id"),
+        pmod(floor(element_at(col("embedding"), 1).cast("double") * 1000)
+          .cast("long"), lit(16L)).as("cid"))
+      operators.Similarity.sampleByCluster(assigned, 5,
+        pmod(col("vec_id") * 2654435761L, lit(1000003L)).cast("double"),
+        "vec_id")
+        .orderBy("cid", "rank")
+    }),
+
     // per-source document cap: top-5 docs per source by (n_chars DESC,
     // doc_id ASC) via the bounded-heap TopKByScore agg — each task ships
     // ≤ k entries per source, no window funnel; DuckDB row_number oracle
@@ -1136,6 +1154,23 @@ object SparkEntry {
         |       CAST(round(coalesce(score, 0) * 1000000) AS BIGINT) AS score_u
         |FROM dl l LEFT JOIN sc ON l.doc_id = sc.doc_id
         |ORDER BY l.doc_id""".stripMargin,
+    // cluster-balanced sampling: same row_number contract as
+    // q_source_cap, partitioned by the SQL-expressible stand-in cid;
+    // DuckDB's % can be negative, so the cid mirrors Spark's pmod via
+    // ((x % 16) + 16) % 16
+    "q_cluster_sample" ->
+      """WITH a AS (
+        |  SELECT vec_id,
+        |         ((CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+        |           % 16) + 16) % 16 AS cid,
+        |         CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) AS score
+        |  FROM embeddings)
+        |SELECT cid, rank, vec_id, score FROM (
+        |  SELECT cid, CAST(row_number() OVER (PARTITION BY cid
+        |           ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+        |         vec_id, score
+        |  FROM a)
+        |WHERE rank <= 5 ORDER BY cid, rank""".stripMargin,
     // per-source cap: row_number mirrors TopKByScore's ranking order
     // (score DESC, id ASC) exactly; the IS NOT NULL guard pins the
     // operator's null-scores-never-rank contract (no-op on this fixture,

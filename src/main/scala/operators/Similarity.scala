@@ -321,6 +321,43 @@ object Similarity {
     corpus.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** Cluster-balanced diversity sampling — the COVERAGE complement to
+    * SemDeDup: semantic dedup removes redundancy, this keeps
+    * representation by selecting per-CLUSTER over the embedding space.
+    * `assigned` is any (idCol, cid) assignment — canonically the IVF
+    * index's cid column (`buildIvfIndex(...).assigned` or the persisted
+    * cid-partitioned table from `writeIvfIndex`), so the expensive
+    * cluster structure is computed once per corpus version and reused by
+    * dedup, ANN and sampling alike. Keeps the top `k` rows per cluster
+    * by (`score` DESC, id ASC); for a deterministic "diverse k per
+    * cluster" pick, pass a pure id-scramble score.
+    *
+    * Scale shape: delegates to `Sampling.capPerSource`'s bounded-heap
+    * TypedImperativeAggregate — each task ships at most k (score, id)
+    * entries per cluster, so a skewed cluster (half the corpus in one
+    * semantic blob is exactly when you want balanced sampling) costs
+    * O(tasks · k), never a window funnel. Null scores never rank (the
+    * capPerSource contract).
+    */
+  def sampleByCluster(assigned: DataFrame, k: Int,
+      score: org.apache.spark.sql.Column,
+      idCol: String = "vec_id"): DataFrame =
+    Sampling.capPerSource(assigned, "cid", score, idCol, k)
+
+  /** Budgeted variant: α-tempered per-cluster keep RATES instead of a
+    * fixed per-cluster k — `Sampling.mixingPlan` over cid with weight 1
+    * per doc (α < 1 up-weights small clusters exactly the way LLM corpus
+    * mixes up-weight small sources; α = 0 is uniform-over-clusters, the
+    * cluster-balanced limit), applied as the deterministic purpose-salted
+    * bucket filter of `applyMixingPlan`. Pure projection + two broadcast
+    * joins — zero corpus shuffle, reproducible run-over-run.
+    */
+  def sampleByClusterBudget(assigned: DataFrame, alpha: Double,
+      budgetDocs: Long, idCol: String = "vec_id"): DataFrame =
+    Sampling.applyMixingPlan(assigned,
+      Sampling.mixingPlan(assigned, "cid", lit(1L), alpha, budgetDocs),
+      "cid", idCol)
+
   /** MaxBucket-cap observability for the embedding-LSH tier (the "no silent
     * caps" rule): n_buckets / n_capped / max_bucket over the banded keys.
     */

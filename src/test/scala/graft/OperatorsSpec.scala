@@ -1301,6 +1301,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.minhashCandidates(hotDocs).count() == 0)
   }
 
+  test("sampleByCluster over the REAL IVF assignment == the row_number oracle; budget variant balanced + deterministic") {
+    val idx = Similarity.buildIvfIndex(spark, emb, c = 8, persist = false)
+    val assigned = idx.assigned.select("vec_id", "cid").localCheckpoint(true)
+    val score = pmod(col("vec_id") * 2654435761L, lit(1000003L)).cast("double")
+    val got = Similarity.sampleByCluster(assigned, 3, score)
+      .select("cid", "rank", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("score").desc, col("vec_id"))
+    val want = assigned.withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("cid", "rank", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // coverage: every populated cluster is represented, none exceeds the cap
+    val perCid = got.groupBy(_._1)
+    assert(perCid.values.forall(_.size <= 3))
+    assert(perCid.keySet == assigned.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet,
+      "a populated cluster contributed no sample — coverage broken")
+
+    // budget variant: reproducible run-over-run, and α = 0 (uniform over
+    // clusters) keeps MORE of a small cluster than of a big one
+    val s1 = Similarity.sampleByClusterBudget(assigned, 0.0, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s2 = Similarity.sampleByClusterBudget(assigned, 0.0, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "budgeted sampling must be deterministic")
+    assert(s1.nonEmpty && s1.size < assigned.count(),
+      s"budget 100 of ${assigned.count()} must actually subsample")
+    val sizes = assigned.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptBy = Similarity.sampleByClusterBudget(assigned, 0.0, 100)
+      .groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (minCid, _) = sizes.minBy(_._2)
+    val (maxCid, _) = sizes.maxBy(_._2)
+    if (sizes(minCid) * 2 <= sizes(maxCid)) {
+      val rMin = keptBy.getOrElse(minCid, 0L).toDouble / sizes(minCid)
+      val rMax = keptBy.getOrElse(maxCid, 0L).toDouble / sizes(maxCid)
+      assert(rMin >= rMax - 0.15,
+        s"α=0 must up-weight the small cluster: kept $rMin vs $rMax")
+    }
+  }
+
   test("IVF centroid build under a forced sample cap keeps usable recall") {
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
