@@ -58,7 +58,8 @@ object Bench {
     "q_dsir" -> 6.0,
     "q_source_cap" -> 3.0,
     "q_semdedup" -> 5.0,
-    "q_decontaminate_fuzzy" -> 4.0)
+    "q_decontaminate_fuzzy" -> 4.0,
+    "q_curate_e2e" -> 15.0)
   private val DefaultRefSec = 2.5
   private val SpikeFactor = 3.0
   private val SpikeSlackSec = 2.0

@@ -487,6 +487,57 @@ object SparkEntry {
         col("n_chars").cast("double"), "doc_id", 5)
         .orderBy("source", "rank")),
 
+    // composed corpus-curation pipeline END-TO-END — the round-5/6
+    // operators chained the way a production curation job runs them:
+    // quality filter → corpus-wide line dedup → duplicated-span removal →
+    // whole-doc near-dedup → benchmark decontamination → α-tempered
+    // source mixing → chunking into 64-token training sequences, in ONE
+    // driver entry. Plan discipline across the composition: the corpus
+    // text column is scanned once per detection phase and NEVER shuffled
+    // (line/span removal are map-side broadcast-set filters; near-dedup
+    // and decontamination shuffle 8-16-byte keys; mixing is a pure
+    // bucket-filter projection; chunking is explode over counts) — every
+    // corpus-sized exchange in the composed plan carries ids, hashes or
+    // counts. Deterministic end-to-end ⇒ golden-pinned; per-doc summary
+    // rows (doc_id, source, n_tokens, n_chunks).
+    "q_curate_e2e" -> ((s, dir) => {
+      LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("n_tokens", IntegerType),
+        StructField("n_chunks", LongType)))) {
+        val d = t(s, dir, "documents").select("doc_id", "source", "text")
+        val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select("doc_id", "text")
+        val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val q = corpus.select("doc_id", "text").join(
+          operators.TextAnalysis.qualitySignals(corpus.select("doc_id", "text"))
+            .filter(col("ok_quality")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val lines = operators.Dedup.dedupLinesCorpus(q)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_clean").as("text"))
+        val spans = operators.Dedup.dedupSpansCorpus(lines, k = 16)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_clean").as("text"))
+        val near = operators.Dedup.dropNearDuplicates(spans, 0.8)
+        val clean = near.join(
+          operators.Dedup.decontaminate(near, bench)
+            .filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val toks = size(operators.TextAnalysis.wsTokens(col("text")))
+        val withSrc = clean
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+        val plan = operators.Sampling.mixingPlan(withSrc, "source",
+          col("n_tokens"), alpha = 0.5, budgetTokens = 50000L)
+        val mixed = operators.Sampling.applyMixingPlan(withSrc, plan,
+          "source", "doc_id")
+        operators.Packing.chunkTokens(mixed, "doc_id", 64)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(mixed.select("doc_id", "source", "n_tokens"), Seq("doc_id"))
+          .select("doc_id", "source", "n_tokens", "n_chunks")
+      }.orderBy("doc_id")
+    }),
+
     // ---------------- training-data ops: dedup / similarity / text /
     // multimodal (model- or hash-dependent: rows-only driver check;
     // gated by OperatorsSpec) ----

@@ -37,7 +37,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(golden.keySet == Set("q_dedup_fingerprint", "q_dedup_simhash",
       "q_dedup_embedding", "q_lsh_buckets", "q_dedup_minhash",
       "q_dedup_groups", "q_chunks", "q_dedup_drop", "q_semdedup",
-      "q_decontaminate_fuzzy", "q_dedup_inc_near", "q_multimodal_audio"))
+      "q_decontaminate_fuzzy", "q_dedup_inc_near", "q_multimodal_audio",
+      "q_multimodal", "q_curate_e2e"))
     golden.toSeq.sortBy(_._1).foreach { case (name, rows) =>
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert(df.columns.mkString(",") == rows.head._2,

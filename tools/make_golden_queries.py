@@ -31,7 +31,12 @@ QUERIES = ["q_dedup_fingerprint", "q_dedup_simhash", "q_dedup_embedding",
            "q_dedup_inc_near",
            # audio features (deterministic synth WAVs -> deterministic
            # RMS/ZCR/Goertzel values; %.4f-pinned)
-           "q_multimodal_audio"]
+           "q_multimodal_audio",
+           # image features (deterministic synth PNGs; %.4f-pinned)
+           "q_multimodal",
+           # composed curation pipeline (quality -> line/span dedup ->
+           # near-dedup -> decontaminate -> mix -> chunk; deterministic)
+           "q_curate_e2e"]
 
 def fmt(v):
     # bool check must precede everything (bool is an int subclass); the
