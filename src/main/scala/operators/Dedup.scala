@@ -748,56 +748,84 @@ object Dedup {
       split(coalesce(col("text"), lit("")), "\n", -1), "\n",
       maxDocFreq, maxFrequentLines, maxFrequentBytes)
 
+  /** The shared detect→confirm skeleton of the corpus-wide heavy-hitter
+    * removers (`dedupLinesByPolicy`, `dedupSpansCorpus` — any future
+    * "drop items appearing in > maxDocFreq docs" pass delegates here
+    * instead of copying the idiom):
+    * - phase 1 (detect): `hashed` = (doc_id, _hh) rows — 16-byte shuffle
+    *   payload, the only corpus-sized exchange — reduced by a two-level
+    *   countDistinct; the heavy HASHES are row-capped and collected loud;
+    * - phase 2 (confirm): `candidates(hashSet)` re-scans only hash HITS
+    *   as (doc_id, item) STRING rows, whose exact per-string doc
+    *   frequency is recounted — a 64-bit collision can promote an item
+    *   into the candidate set but never past the recount. The confirmed
+    *   set is cached distributed and SIZED (rows + utf-8 bytes) BEFORE
+    *   any collect: phase 1 bounds the rows, but near-maximal strings
+    *   could still breach driver/broadcast memory — the byte cap aborts
+    *   while the set is still on the executors.
+    * Returns the phase-1 hash broadcast (span removal reuses it as a
+    * cheap prefilter) plus the confirmed strings. `noun` keeps each
+    * caller's loud-failure messages specific ("frequent lines" /
+    * "frequent spans": a cap breach means the item DEFINITION is
+    * degenerate for the corpus, not that the corpus is big).
+    */
+  private def confirmedHeavyHitters(hashed: DataFrame,
+      candidates: org.apache.spark.broadcast.Broadcast[Set[Long]] => DataFrame,
+      maxDocFreq: Int, maxItems: Int, maxBytes: Long,
+      opName: String, noun: String)
+      : (org.apache.spark.broadcast.Broadcast[Set[Long]], Array[String]) = {
+    val spark = hashed.sparkSession
+    val hashes = hashed
+      .groupBy("_hh").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("_hh")
+      .limit(maxItems + 1).collect().map(_.getLong(0))
+    require(hashes.length <= maxItems,
+      s"$opName: > $maxItems $noun — the definition is degenerate for " +
+        "this corpus (raise the cap only if the boilerplate set is " +
+        "genuinely this large)")
+    val hashSet = spark.sparkContext.broadcast(hashes.toSet)
+    if (hashes.isEmpty) return (hashSet, Array.empty[String])
+    val confirmedDf = candidates(hashSet) // (doc_id, item)
+      .groupBy("item").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("item")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items =
+      try {
+        val stats = confirmedDf
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(octet_length(col("item"))), lit(0L)).as("bytes"))
+          .head()
+        require(stats.getLong(0) <= maxItems,
+          s"$opName: > $maxItems confirmed $noun")
+        require(stats.getLong(1) <= maxBytes,
+          s"$opName: confirmed $noun set is ${stats.getLong(1)} bytes " +
+            s"> cap $maxBytes — the definition is degenerate for this " +
+            "corpus (raise the byte cap only if the boilerplate set is " +
+            "genuinely this large)")
+        confirmedDf.collect().map(_.getString(0))
+      } finally confirmedDf.unpersist()
+    (hashSet, items)
+  }
+
   private def dedupLinesByPolicy(docs: DataFrame, linesCol: Column,
       sep: String, maxDocFreq: Int, maxFrequentLines: Int,
       maxFrequentBytes: Long): DataFrame = {
     val spark = docs.sparkSession
     val exploded = docs.select(col("doc_id"), explode(linesCol).as("line"))
-    // phase 1: heavy-hitter hashes — 8-byte keys, the only corpus-sized
-    // shuffle in the operator
-    val freqHashes = exploded
-      .select(xxhash64(col("line")).as("_lh"), col("doc_id"))
-      .groupBy("_lh").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("_lh")
-    val hashes = freqHashes.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
-    require(hashes.length <= maxFrequentLines,
-      s"dedupLinesCorpus: > $maxFrequentLines frequent lines — the line " +
-        "definition is degenerate for this corpus (raise maxFrequentLines " +
-        "only if the boilerplate set is genuinely this large)")
-    if (hashes.isEmpty)
+    val (_, freqLines) = confirmedHeavyHitters(
+      exploded.select(col("doc_id"), xxhash64(col("line")).as("_hh")),
+      hs => {
+        val hashHit = udf((h: Long) => hs.value.contains(h))
+        exploded.filter(hashHit(xxhash64(col("line"))))
+          .select(col("doc_id"), col("line").as("item"))
+      },
+      maxDocFreq, maxFrequentLines, maxFrequentBytes,
+      "dedupLinesCorpus", "frequent lines")
+    if (freqLines.isEmpty)
       return docs.select(col("doc_id"), size(linesCol).as("n_lines"),
         size(linesCol).as("n_kept"), concat_ws(sep, linesCol).as("text_clean"))
-    // phase 2: exact recount per candidate STRING (hash hits only — a
-    // sliver of the corpus), rescuing 64-bit collisions. The confirmed
-    // set is cached distributed and SIZED (rows + utf-8 bytes) before
-    // anything is collected: the row bound came from phase 1's cap, but
-    // near-maximal LINES could still breach driver/broadcast memory —
-    // the byte cap aborts while the set is still on the executors.
-    val hashSet = spark.sparkContext.broadcast(hashes.toSet)
-    val hashHit = udf((h: Long) => hashSet.value.contains(h))
-    val freqLinesDf = exploded
-      .filter(hashHit(xxhash64(col("line"))))
-      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("line")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freqLines =
-      try {
-        val stats = freqLinesDf
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(octet_length(col("line"))), lit(0L)).as("bytes"))
-          .head()
-        require(stats.getLong(0) <= maxFrequentLines,
-          s"dedupLinesCorpus: > $maxFrequentLines confirmed frequent lines")
-        require(stats.getLong(1) <= maxFrequentBytes,
-          s"dedupLinesCorpus: confirmed frequent-line set is " +
-            s"${stats.getLong(1)} bytes > cap $maxFrequentBytes — the line " +
-            "definition is degenerate for this corpus (raise " +
-            "maxFrequentBytes only if the boilerplate set is genuinely " +
-            "this large)")
-        freqLinesDf.collect().map(_.getString(0))
-      } finally freqLinesDf.unpersist()
     // phase 3: map-side removal — one broadcast set probe per line, doc
     // rows never shuffle
     val freqSet = spark.sparkContext.broadcast(freqLines.toSet)
@@ -867,52 +895,30 @@ object Dedup {
       if (toks.length < k) Array.empty[Long]
       else Array.tabulate(toks.length - k + 1)(spanHashAt(toks, _, k))
     })
-    // phase 1: heavy-hitter window hashes — 16-byte shuffle rows only
-    val freqHashes = docs
-      .select(col("doc_id"), explode(hashesUdf(col("text"))).as("_wh"))
-      .groupBy("_wh").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("_wh")
-      .limit(maxFrequentSpans + 1).collect().map(_.getLong(0))
-    require(freqHashes.length <= maxFrequentSpans,
-      s"dedupSpansCorpus: > $maxFrequentSpans frequent spans — the window " +
-        "definition is degenerate for this corpus")
     def passthrough: DataFrame = {
       val n = size(operators.TextAnalysis.wsTokens(col("text")))
       docs.select(col("doc_id"), n.as("n_tokens"), n.as("n_kept"),
         concat_ws(" ", operators.TextAnalysis.wsTokens(col("text"))).as("text_clean"))
     }
-    if (freqHashes.isEmpty) return passthrough
-    // phase 2: exact per-STRING recount among hash hits (string built
-    // only for the sliver), rescuing 64-bit collisions
-    val hashSet = spark.sparkContext.broadcast(freqHashes.toSet)
-    val candSpansUdf = udf((t: String) => {
-      val toks = wsToksOf(t)
-      if (toks.length < k) Seq.empty[String]
-      else (0 to toks.length - k).iterator
-        .filter(s => hashSet.value.contains(spanHashAt(toks, s, k)))
-        .map(s => toks.slice(s, s + k).mkString(" "))
-        .toSeq
-    })
-    val freqSpansDf = docs
-      .select(col("doc_id"), explode(candSpansUdf(col("text"))).as("span"))
-      .groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("span")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freqSpans =
-      try {
-        val stats = freqSpansDf
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(octet_length(col("span"))), lit(0L)).as("bytes"))
-          .head()
-        require(stats.getLong(0) <= maxFrequentSpans,
-          s"dedupSpansCorpus: > $maxFrequentSpans confirmed frequent spans")
-        require(stats.getLong(1) <= maxFrequentBytes,
-          s"dedupSpansCorpus: confirmed span set is ${stats.getLong(1)} " +
-            s"bytes > cap $maxFrequentBytes")
-        freqSpansDf.collect().map(_.getString(0))
-      } finally freqSpansDf.unpersist()
+    // phases 1-2 via the shared skeleton; phase-2 strings are built only
+    // for hash HITS (the sliver), rescuing 64-bit collisions — the span
+    // hashes come from the token-mix (spanHashAt), so detection never
+    // materializes window strings corpus-wide
+    val (hashSet, freqSpans) = confirmedHeavyHitters(
+      docs.select(col("doc_id"), explode(hashesUdf(col("text"))).as("_hh")),
+      hs => {
+        val candSpansUdf = udf((t: String) => {
+          val toks = wsToksOf(t)
+          if (toks.length < k) Seq.empty[String]
+          else (0 to toks.length - k).iterator
+            .filter(s => hs.value.contains(spanHashAt(toks, s, k)))
+            .map(s => toks.slice(s, s + k).mkString(" "))
+            .toSeq
+        })
+        docs.select(col("doc_id"), explode(candSpansUdf(col("text"))).as("item"))
+      },
+      maxDocFreq, maxFrequentSpans, maxFrequentBytes,
+      "dedupSpansCorpus", "frequent spans")
     if (freqSpans.isEmpty) return passthrough
     // phase 3: map-side cover-and-drop — hash prefilter per window, string
     // confirm on hits, tokens never shuffle
