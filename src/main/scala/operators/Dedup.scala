@@ -102,6 +102,12 @@ object Dedup {
   def minhashCandidates(docs: DataFrame): DataFrame =
     pairsFromKeys(minhashKeys(docs))
 
+  /** SimHash chunk-key rows (doc_id, band_key) — the simhash analog of
+    * `bandIndexFor`, exposed for the cap diagnostics (graft.CapStats /
+    * graft.CapRecall pick hot-bucket members from it).
+    */
+  def simhashKeysFor(docs: DataFrame): DataFrame = simhashKeys(docs)
+
   /** MinHash-LSH candidates verified with exact shingle Jaccard ≥ tau. */
   def nearDuplicates(docs: DataFrame, tau: Double): DataFrame = {
     val sh = docs.select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
@@ -118,13 +124,14 @@ object Dedup {
     * chunk by pigeonhole... for ≤3 flips over 4 chunks), verified by
     * bit_count(a XOR b) ≤ maxHamming.
     */
-  def simhashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDuplicates(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = SimhashMaxBucket): DataFrame = {
     // pigeonhole over 4 chunks is only COMPLETE for ≤ 3 flips; a larger
     // maxHamming would silently lose pairs whose flips hit all four chunks
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhash candidate generation uses 4 chunks => maxHamming ≤ 3, got $maxHamming")
     val sims = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
-    val cand = pairsFromKeys(simhashKeys(docs), SimhashMaxBucket)
+    val cand = pairsFromKeys(simhashKeys(docs), maxBucket)
     cand
       .join(sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
