@@ -34,6 +34,46 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100, 0).cast("long")
 
+  /** The q_curate_e2e composition, unwrapped — factored out so
+    * PlanShapeSpec can audit the composed physical plan directly (the
+    * driver query's LazyFrame hides it from the query sweep). Runs the
+    * detection-phase collects eagerly; the driver entry defers via
+    * LazyFrame.
+    */
+  private[graft] def curatePipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "source", "text")
+    val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id", "text")
+    val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val q = corpus.select("doc_id", "text").join(
+      operators.TextAnalysis.qualitySignals(corpus.select("doc_id", "text"))
+        .filter(col("ok_quality")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val lines = operators.Dedup.dedupLinesCorpus(q)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val spans = operators.Dedup.dedupSpansCorpus(lines, k = 16)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val near = operators.Dedup.dropNearDuplicates(spans, 0.8)
+    val clean = near.join(
+      operators.Dedup.decontaminate(near, bench)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val toks = size(operators.TextAnalysis.wsTokens(col("text")))
+    val withSrc = clean
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+    val plan = operators.Sampling.mixingPlan(withSrc, "source",
+      col("n_tokens"), alpha = 0.5, budgetTokens = 50000L)
+    val mixed = operators.Sampling.applyMixingPlan(withSrc, plan,
+      "source", "doc_id")
+    operators.Packing.chunkTokens(mixed, "doc_id", 64)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(mixed.select("doc_id", "source", "n_tokens"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "n_chunks")
+  }
+
   /** Flagship: the full quality-filter pipeline on the t1-scale synthetic
     * corpus; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -504,37 +544,7 @@ object SparkEntry {
       LazyFrame(s, StructType(Seq(StructField("doc_id", LongType),
         StructField("source", StringType), StructField("n_tokens", IntegerType),
         StructField("n_chunks", LongType)))) {
-        val d = t(s, dir, "documents").select("doc_id", "source", "text")
-        val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
-          .select("doc_id", "text")
-        val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        val q = corpus.select("doc_id", "text").join(
-          operators.TextAnalysis.qualitySignals(corpus.select("doc_id", "text"))
-            .filter(col("ok_quality")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val lines = operators.Dedup.dedupLinesCorpus(q)
-          .filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("text_clean").as("text"))
-        val spans = operators.Dedup.dedupSpansCorpus(lines, k = 16)
-          .filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("text_clean").as("text"))
-        val near = operators.Dedup.dropNearDuplicates(spans, 0.8)
-        val clean = near.join(
-          operators.Dedup.decontaminate(near, bench)
-            .filter(!col("contaminated")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val toks = size(operators.TextAnalysis.wsTokens(col("text")))
-        val withSrc = clean
-          .join(d.select("doc_id", "source"), Seq("doc_id"))
-          .select(col("doc_id"), col("source"), toks.as("n_tokens"))
-        val plan = operators.Sampling.mixingPlan(withSrc, "source",
-          col("n_tokens"), alpha = 0.5, budgetTokens = 50000L)
-        val mixed = operators.Sampling.applyMixingPlan(withSrc, plan,
-          "source", "doc_id")
-        operators.Packing.chunkTokens(mixed, "doc_id", 64)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-          .join(mixed.select("doc_id", "source", "n_tokens"), Seq("doc_id"))
-          .select("doc_id", "source", "n_tokens", "n_chunks")
+        curatePipeline(s, dir)
       }.orderBy("doc_id")
     }),
 

@@ -145,6 +145,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"expected at most 2 one-row scalar-attach NLJs, got $bnlj:\n$txt")
   }
 
+  test("curation composition's raw plan: no cartesian; NLJ only the one-row mixing normalization") {
+    // q_curate_e2e is LazyFrame-wrapped (opaque to the sweep below); audit
+    // the unwrapped composition. Building it runs the detection-phase
+    // collects (smoke tier, cheap); the FINAL composed plan must contain
+    // no cartesian and at most the mixing plan's one-row broadcast-NLJ
+    // normalization.
+    val txt = formatted(SparkEntry.curatePipeline(spark, sf))
+    assert(!txt.contains("CartesianProduct"), txt)
+    // the mixing plan's ONE-ROW normalization NLJ is planned twice because
+    // the mixed frame feeds both sides of the final chunk-count join (no
+    // subtree reuse without an exchange) — 2 one-row NLJs, nothing else
+    val bnlj = txt.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(bnlj <= 2, s"expected only the 1-row mixing-normalization NLJs, got $bnlj:\n$txt")
+  }
+
   test("no CartesianProduct outside the explicit cross-join demo") {
     // sweep EVERY driver-contract query's plan; a cartesian product that
     // appears anywhere else is a planning regression that would be fatal
