@@ -56,12 +56,6 @@ object Dedup {
 
   private val fingerprintUdf = udf((text: String) => Shingles.fingerprint(text))
 
-  private val pairsUdf = udf((ids: Seq[Long]) =>
-    for {
-      i <- ids.indices
-      j <- (i + 1) until ids.length
-    } yield (ids(i), ids(j)))
-
   /** Candidate pairs from bucketed keys: groupBy bucket → in-bucket pairs.
     * Shared by minhash / simhash / embedding-LSH dedup tiers; `maxBucket`
     * is per-tier (simhash's 4-chunk pigeonhole needs larger buckets than
@@ -69,16 +63,34 @@ object Dedup {
     * `_list`): a doc_id appearing twice under one key (e.g. a replayed
     * band-index append) must not inflate the bucket size or emit self
     * pairs — set semantics are identical on unique inputs.
+    *
+    * Pair generation is a typed flatMap ITERATOR, not a UDF returning the
+    * pair array: a udf must materialize all ≤ maxBucket²/2 pairs of a
+    * bucket in one row before explode sees them (~0.5 MB per maximal
+    * simhash bucket at cap 256 — and the term that grows quadratically if
+    * a tier's cap is ever raised again), while the iterator streams pairs
+    * straight into the distinct's exchange with O(bucket) memory. The
+    * typed boundary costs codegen on a path that is candidate-sized, not
+    * corpus-sized.
     */
   private[operators] def pairsFromKeys(keyed: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame =
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
     keyed // (doc_id, band_key)
       .groupBy("band_key")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        for {
+          i <- ids.indices.iterator
+          j <- ((i + 1) until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
+  }
 
   /** MinHash band keys: (doc_id, band_key), `Bands` rows per doc. */
   private def minhashKeys(docs: DataFrame): DataFrame =
@@ -518,6 +530,35 @@ object Dedup {
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact the band-key index at `path` to distinct rows. Replays of
+    * the crash-safe append order (TranscriptStream.processNearDedupBatch)
+    * can leave a doc's keys in the index more than once — harmless for
+    * correctness (deduped at probe time) but accumulated IO, so a
+    * maintenance pass compacts offline. NOT safe concurrently with an
+    * appending batch: run it between batches. Publish order is
+    * crash-recoverable at every window: the compacted copy is fully
+    * written to `<path>.compact` first, the live dir is staged aside to
+    * `<path>.old`, the compacted dir renamed in, the stage deleted — a
+    * crash leaves either the live dir, or a complete `.compact` to
+    * rename in by hand (the error message names it), never nothing.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compact = new org.apache.hadoop.fs.Path(path + ".compact")
+    val staged = new org.apache.hadoop.fs.Path(path + ".old")
+    spark.read.parquet(path).distinct()
+      .write.mode("overwrite").parquet(compact.toString)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    require(fs.rename(fsPath, staged),
+      s"compactBandIndex: could not stage $path aside")
+    require(fs.rename(compact, fsPath),
+      s"compactBandIndex: could not publish $compact — the live index was " +
+        s"staged at $staged; recover by renaming $compact to $path")
+    fs.delete(staged, true)
+  }
 
   /** Incremental NEAR-dedup: the rows of `incoming` that survive
     * `dropNearDuplicates(history ∪ incoming, tau)` — computed WITHOUT

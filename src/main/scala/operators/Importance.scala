@@ -111,14 +111,32 @@ object Importance {
     *
     * Scale shape: two word-count hash aggregates with map-side combine
     * (the only corpus-sized work — 16-byte partial rows), one vocab-sized
-    * full join, one one-row reduction. For a bounded-state variant at any
-    * vocabulary size, pre-hash words to a fixed bucket space exactly as
-    * `importanceScoresHashed` does — the divergences then measure the
-    * hashed distributions (same fixed-size trade as DSIR).
+    * full join, one one-row reduction. `tokenDriftHashed` is the
+    * bounded-state variant at any vocabulary size.
     */
-  def tokenDrift(a: DataFrame, b: DataFrame): DataFrame = {
+  def tokenDrift(a: DataFrame, b: DataFrame): DataFrame =
+    driftBetween(a, b, identity)
+
+  /** Bounded-state drift: `tokenDrift` with words pre-hashed into a
+    * fixed `buckets` space (the `importanceScoresHashed` trade): the
+    * vocab join and all state are capped at `buckets` rows regardless of
+    * corpus vocabulary — the shape a weekly monitor over an unbounded
+    * web-crawl vocabulary needs. The divergences measure the HASHED
+    * distributions: collisions can only merge mass and blur true drift
+    * toward 0, never invent drift — identical snapshots still read
+    * exactly 0 (asserted), and n_vocab ≤ buckets by construction.
+    */
+  def tokenDriftHashed(a: DataFrame, b: DataFrame,
+      buckets: Int = 1 << 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    driftBetween(a, b, w => pmod(xxhash64(w), lit(buckets.toLong)))
+  }
+
+  private def driftBetween(a: DataFrame, b: DataFrame,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     def counts(d: DataFrame, as: String): DataFrame =
-      d.select(explode(TextAnalysis.wordTokens(col("text"))).as("word"))
+      d.select(explode(TextAnalysis.wordTokens(col("text"))).as("raw"))
+        .select(key(col("raw")).as("word"))
         .groupBy("word").agg(count(lit(1)).as(as))
     val vocab = counts(a, "ca").join(counts(b, "cb"), Seq("word"), "full")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),

@@ -1347,6 +1347,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenDriftHashed: bounded vocab, exact zero on identical snapshots, detects real drift") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val a = d.filter(col("doc_id") % 3 =!= 0)
+    val b = d.filter(col("doc_id") % 3 === 0)
+    // identical snapshots: hashing cannot invent drift — exactly 0
+    val same = operators.Importance.tokenDriftHashed(a, a, 1 << 10).head()
+    assert(same.getAs[Double]("kl_ab") == 0.0 && same.getAs[Double]("js") == 0.0)
+    // bounded state: the union vocab can never exceed the bucket count
+    val small = operators.Importance.tokenDriftHashed(a, b, 64).head()
+    assert(small.getAs[Long]("n_vocab") <= 64L)
+    // real drift still reads as drift through the hash
+    assert(small.getAs[Double]("js") > 0.0)
+    // token totals are hash-invariant (mass is merged, never lost)
+    val exact = operators.Importance.tokenDrift(a, b).head()
+    assert(small.getAs[Long]("n_tokens_a") == exact.getAs[Long]("n_tokens_a"))
+    assert(small.getAs[Long]("n_tokens_b") == exact.getAs[Long]("n_tokens_b"))
+    // collisions only merge mass: the hashed divergence is a lower bound
+    assert(small.getAs[Double]("js") <= exact.getAs[Double]("js") + 1e-12)
+  }
+
+  test("compactBandIndex: duplicate keys from replayed appends compact away; probes answer identically") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/band"
+    Dedup.writeBandIndex(hist, path) // initial append
+    Dedup.writeBandIndex(hist, path) // replayed append: every key twice
+    val dup = Dedup.readBandIndex(spark, path)
+    assert(dup.count() == 2L * dup.distinct().count())
+    val batch = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"))
+      .toDF("doc_id", "text")
+    val before = Dedup.incrementalNewNear(
+      Dedup.readBandIndex(spark, path), hist, batch, 0.8).count()
+    Dedup.compactBandIndex(spark, path)
+    val compacted = Dedup.readBandIndex(spark, path)
+    assert(compacted.count() == compacted.distinct().count(),
+      "compaction must leave exactly the distinct key rows")
+    assert(compacted.count() == 2L * Dedup.Bands)
+    val after = Dedup.incrementalNewNear(compacted, hist, batch, 0.8).count()
+    assert(before == after && after == 0L,
+      "the near-clone must be rejected before AND after compaction")
+    // neither staging dir survives a successful compaction
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".compact").exists())
+  }
+
   test("IVF centroid build under a forced sample cap keeps usable recall") {
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
