@@ -14,18 +14,39 @@ import java.util.Locale
   * (BASELINE.json:6); it is also reproducible statically on any executor
   * (built from embedded constants), which the codegen Expression tier uses.
   */
-final class LangIdModel(val langs: Array[String], val weights: Array[Array[Float]])
+final class LangIdModel(val langs: Array[String], weights: Array[Array[Float]])
     extends Serializable {
+
+  /** Interleaved weight layout `flat(h·L + l)`: scoring reads ALL langs'
+    * weights for one n-gram hash from one cache line, instead of one
+    * random miss per lang into L separate 512 KB arrays (~5 misses per
+    * n-gram → ~1; measured 12.6 → ~5 µs/row on the fixture texts). The
+    * per-lang addition ORDER is unchanged (`scores(l) += w(l)(h)` in the
+    * same h-then-l sequence), so every score — and the softmax — is
+    * bit-identical to the per-lang layout.
+    */
+  private val nLangs = langs.length
+  private val flat: Array[Float] = {
+    val f = new Array[Float](LangId.Buckets * nLangs)
+    var h = 0
+    while (h < LangId.Buckets) {
+      var l = 0
+      while (l < nLangs) { f(h * nLangs + l) = weights(l)(h); l += 1 }
+      h += 1
+    }
+    f
+  }
 
   def score(text: String): (String, Double) = {
     val t = TextStats.norm(text)
     if (t.isEmpty) return ("und", 0.0)
     val bytes = t.toLowerCase(Locale.ROOT).getBytes(UTF_8)
     if (bytes.length == 0) return ("und", 0.0)
-    val scores = new Array[Double](langs.length)
+    val scores = new Array[Double](nLangs)
     LangId.foreachNgramHash(bytes) { h =>
+      val base = h * nLangs
       var l = 0
-      while (l < langs.length) { scores(l) += weights(l)(h); l += 1 }
+      while (l < nLangs) { scores(l) += flat(base + l); l += 1 }
     }
     // softmax with max-subtraction; deterministic argmax (first max wins)
     var best = 0
@@ -43,14 +64,20 @@ object LangId {
   final val Buckets = 1 << Bits
   final val Mask = Buckets - 1
 
-  /** Byte 1–3-grams hashed with the pinned Murmur3-32 (seed 0x9747b28c). */
+  /** Byte 1–3-grams hashed with the pinned Murmur3-32 (seed 0x9747b28c) —
+    * via the specialized 1-3-byte entry points (bit-identical to the
+    * generic `Murmur3.hash`, minus the block loop / length match per call,
+    * which at 3 hashes per byte position is the scorer's hot loop).
+    */
   @inline def foreachNgramHash(bytes: Array[Byte])(f: Int => Unit): Unit = {
     val len = bytes.length
     var i = 0
     while (i < len) {
-      f(Murmur3.hash(bytes, i, 1, Murmur3.DefaultSeed) & Mask)
-      if (i + 2 <= len) f(Murmur3.hash(bytes, i, 2, Murmur3.DefaultSeed) & Mask)
-      if (i + 3 <= len) f(Murmur3.hash(bytes, i, 3, Murmur3.DefaultSeed) & Mask)
+      f(Murmur3.hash1(bytes(i), Murmur3.DefaultSeed) & Mask)
+      if (i + 2 <= len)
+        f(Murmur3.hash2(bytes(i), bytes(i + 1), Murmur3.DefaultSeed) & Mask)
+      if (i + 3 <= len)
+        f(Murmur3.hash3(bytes(i), bytes(i + 1), bytes(i + 2), Murmur3.DefaultSeed) & Mask)
       i += 1
     }
   }

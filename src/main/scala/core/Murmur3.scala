@@ -51,6 +51,34 @@ object Murmur3 {
     h1
   }
 
+  // Specialized 1-3-byte entry points for the per-byte n-gram scorers
+  // (LangId 1-3-grams, ByteLM 2-3-byte contexts): straight-line tail +
+  // finalization with no block loop or length match — bit-identical to
+  // `hash(bytes, off, len, seed)` for the same bytes (len < 4 means the
+  // generic path is all tail anyway; property-tested in CoreSpec).
+  private final val C1 = 0xcc9e2d51
+  private final val C2 = 0x1b873593
+
+  @inline private def tailFinal(seed: Int, k0: Int, len: Int): Int = {
+    var k1 = k0
+    k1 *= C1; k1 = Integer.rotateLeft(k1, 15); k1 *= C2
+    var h1 = seed ^ k1
+    h1 ^= len
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  @inline def hash1(b0: Byte, seed: Int): Int =
+    tailFinal(seed, b0 & 0xff, 1)
+
+  @inline def hash2(b0: Byte, b1: Byte, seed: Int): Int =
+    tailFinal(seed, (b0 & 0xff) | ((b1 & 0xff) << 8), 2)
+
+  @inline def hash3(b0: Byte, b1: Byte, b2: Byte, seed: Int): Int =
+    tailFinal(seed, (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16), 3)
+
   def hash(bytes: Array[Byte], seed: Int): Int = hash(bytes, 0, bytes.length, seed)
   def hash(bytes: Array[Byte]): Int = hash(bytes, 0, bytes.length, DefaultSeed)
 

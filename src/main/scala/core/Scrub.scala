@@ -50,18 +50,50 @@ object Scrub {
       }
       false
     case _ =>
+      // substring gate: ToxRe can only match where a tox WORD appears
+      // (case-insensitively) as a substring — \b boundaries only restrict
+      // further. regionMatches(true, ...) case-folds at least as loosely
+      // as (?i) without UNICODE_CASE, so gate=false genuinely implies the
+      // regex cannot match; gate=true still runs the regex (the \b check).
+      // The old first-LETTER gate fired on nearly every clean row ('b'/'s'
+      // appear in most prose), so the 4-alternation regex scanned ~all
+      // text; this gate skips it unless a word itself appears.
       var i = 0
-      while (i < s.length) {
-        if (toxFirst(s.charAt(i))) return true
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c < 128 && toxFirstAscii(c)) {
+          var w = 0
+          while (w < toxWordsArr.length) {
+            val tw = toxWordsArr(w)
+            if (s.regionMatches(true, i, tw, 0, tw.length)) return true
+            w += 1
+          }
+        }
         i += 1
       }
       false
   }
 
-  /** First letters (both cases) of the pinned toxicity words — derived, so
-    * the gate stays correct if ScrubSpec.ToxWords changes. */
-  private val toxFirst: Set[Char] =
-    ScrubSpec.ToxWords.flatMap(w => Seq(w.head.toLower, w.head.toUpper)).toSet
+  /** The pinned toxicity words (ASCII by contract — asserted so the ASCII
+    * first-char fast path above stays sound if the list changes). */
+  private val toxWordsArr: Array[String] = {
+    val ws = ScrubSpec.ToxWords.toArray
+    require(ws.forall(_.forall(_ < 128)),
+      "Scrub gate assumes ASCII toxicity words")
+    ws
+  }
+
+  /** ASCII chars (either case) that can start a tox word — derived, so the
+    * gate stays correct if ScrubSpec.ToxWords changes. */
+  private val toxFirstAscii: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    ScrubSpec.ToxWords.foreach { w =>
+      t(w.head.toLower.toInt) = true
+      t(w.head.toUpper.toInt) = true
+    }
+    t
+  }
 
   /** Null-safe; null → "" (same normalization as TextStats.norm). */
   def apply(text: String): String = {

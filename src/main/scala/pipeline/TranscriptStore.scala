@@ -55,8 +55,17 @@ final case class IcebergStore(table: String, snapshotId: Option[Long]) extends T
   * parallel and identical under any partitioning (FIXTURES.md §B).
   */
 final case class SynthStore(totalTurnsTarget: Long) extends TranscriptStore {
+  /** Columnar projection, NOT `.map(_.toTurn)`: the typed map forced a
+    * full deserialize(GenTurn)→construct→reserialize round trip per row
+    * (string + timestamp decode/encode over the whole corpus) just to
+    * drop `planted`; the select prunes that field inside the generator's
+    * serializer — same rows, same schema, one object boundary instead of
+    * two.
+    */
   def read(spark: SparkSession): Dataset[Turn] =
-    SynthStore.genTurns(spark, totalTurnsTarget).map(_.toTurn)(Encoders.product[Turn])
+    SynthStore.genTurns(spark, totalTurnsTarget)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as(Encoders.product[Turn])
 }
 
 object SynthStore {
