@@ -638,9 +638,20 @@ object SparkEntry {
       operators.Similarity.lshBuckets(t(s, dir, "embeddings"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
+    // the PNG/WAV RENDER dominates this query (measured 2.3 s render vs
+    // 0.6 s decode+featurize, single-threaded) and the one-row-group
+    // fixture file scans as ONE task, so the render projection is spread
+    // over round-robin partitions first. extractFeatures' batch_size
+    // column is partition-layout-dependent by design (it proves the
+    // batching), so the payload is brought back to the scan's layout —
+    // one partition in doc_id order (= the fixture's file order) — before
+    // the batched extract: batch composition, and therefore every output
+    // row, is byte-identical to the unpartitioned plan (golden-pinned).
     "q_multimodal" -> ((s, dir) =>
       operators.Multimodal.extractFeatures(s,
-        operators.Multimodal.synthesizeMedia(t(s, dir, "documents")))
+        operators.Multimodal.synthesizeMedia(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
+          .repartition(1).sortWithinPartitions("doc_id"))
         .toDF()
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
           element_at(col("feat"), 1).as("f0"), col("batch_size"),
@@ -648,7 +659,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.extractAudioFeatures(s,
-        operators.Multimodal.synthesizeAudio(t(s, dir, "documents")))
+        operators.Multimodal.synthesizeAudio(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
+          .repartition(1).sortWithinPartitions("doc_id"))
         .toDF()
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
           element_at(col("feat"), 1).as("rms"), col("batch_size"),

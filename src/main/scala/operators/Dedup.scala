@@ -414,79 +414,98 @@ object Dedup {
     * exposed so tests can assert the pointer-shortcut contraction (a
     * 2^k-deep chain must converge in ~k rounds, not 2^k).
     *
-    * Per round, in ONE cached computation: (1) neighbor-min propagation
-    * with the round's STARTING label carried through the aggregation (so
-    * convergence is read off the same cached rows with a plain filter —
-    * the old per-round re-join against the previous labels existed only to
-    * count moved labels and doubled the round's work); (2) a pointer-
-    * shortcut hop `label := label(label)` — labels are vertex ids, so one
-    * self-join reads each vertex's label's label. Shortcutting contracts a
+    * The iteration runs on RDD[(vertex, label)] pairs, not DataFrames:
+    * a Catalyst loop pays full analysis + optimization + whole-stage
+    * codegen compilation PLUS an eager localCheckpoint materialization
+    * per round (the checkpoint was needed precisely because a DF
+    * self-join doubles the logical plan every round), which measured
+    * ~2 jobs and several hundred ms of fixed overhead per round at any
+    * data size. The RDD rounds have no per-round planning at all, RDD
+    * lineage is a shared DAG (a self-join does not duplicate it), and
+    * one count triggers the whole round — so a round is ONE job over
+    * 16-byte pairs. The distributed shape is unchanged: min-label
+    * propagation over a fixed HashPartitioner, edges co-partitioned
+    * once and never reshuffled, labels vertex-sized.
+    *
+    * Per round: (1) neighbor-min propagation `label(v) := min(label(v),
+    * min over in-neighbors)` — the edges⋈labels join is co-partitioned
+    * (zero shuffle), only the propagated (dst, label) pairs reshuffle
+    * into the reduceByKey; (2) a pointer-shortcut hop `label :=
+    * label(label)` — labels are vertex ids, so one label-sized join
+    * reads each vertex's label's label. Shortcutting contracts a
     * chain-shaped component from diameter rounds to ~log₂(diameter):
     * labels decrease monotonically (min includes self) and label(v) ≤ v
-    * always, so label(label(v)) ≤ label(v) and the fixpoint is unchanged.
+    * always, so label(label(v)) ≤ label(v) and the fixpoint is
+    * unchanged. Duplicate input pairs are harmless (min is idempotent),
+    * so no distinct pass is spent on the edge list — every driver-path
+    * caller feeds already-distinct pairs.
     *
-    * The propagated labels are eagerly `localCheckpoint`ed each round
-    * BEFORE the self-join: persist caches DATA, not plans, so a self-join
-    * over an un-truncated lineage doubles the logical plan every round —
-    * exponential analysis/toString cost that OOMs the driver near round 8
-    * (measured). Checkpointing makes `prop` a leaf, keeping every round's
-    * plan constant-size; the checkpoint RDDs are GC-reclaimed.
+    * Partition count: inherited from the candidate-pair plan (clamped
+    * below by defaultParallelism at scale via the pairs' own shuffle),
+    * so local fixture graphs run single-task rounds while a real
+    * corpus's pair volume keeps its parallelism — nothing is tuned to
+    * the local core count.
     */
   def connectedComponentsRounds(pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .persist()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, raw.getNumPartitions))
+    val edges = raw
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(lvl)
+    var labels = edges
+      .mapPartitions(_.map(kv => (kv._1, kv._1)), preservesPartitioning = true)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // distinct vertices, label = self; no shuffle
+      .persist(lvl)
     try {
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
-        // neighbor-min propagation; `_old` (null on propagated rows, the
-        // starting label on each vertex's own row — max ignores nulls)
-        // rides through the groupBy so the convergence count needs no join
-        val prop = edges
-          .join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("component"),
-            lit(null).cast("long").as("_old"))
-          .unionByName(labels.select(col("doc_id"), col("component"),
-            col("component").as("_old")))
-          .groupBy("doc_id")
-          .agg(min("component").as("component"), max("_old").as("_old"))
-          .localCheckpoint(true) // leaf plan; feeds BOTH shortcut sides
-        // pointer shortcut: component values are vertex ids present in
-        // `prop`, so the inner self-join is total
-        val short = prop.alias("v")
-          .join(prop.select(col("doc_id").as("_c"), col("component").as("_cc")),
-            col("v.component") === col("_c"))
-          .select(col("v.doc_id").as("doc_id"), col("_cc").as("component"),
-            col("v._old").as("_old"))
-          .persist()
-        changed = short.filter(col("component") =!= col("_old")).count()
+        val reduced = edges.join(labels) // co-partitioned: no shuffle
+          .map { case (_, (dst, lbl)) => (dst, lbl) }
+          .union(labels)
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+          .persist(lvl) // feeds BOTH sides of the shortcut join below
+        // pointer shortcut: label values are vertex ids present in
+        // `reduced`, so the inner join is total
+        val short = reduced
+          .map { case (v, l) => (l, v) }
+          .join(reduced, part)
+          .map { case (_, (v, ll)) => (v, ll) }
+          .partitionBy(part)
+          .persist(lvl)
+        // ONE job: count moved labels vs the round's start (co-partitioned)
+        changed = short.join(labels)
+          .aggregate(0L)(
+            (acc, kv) => if (kv._2._1 != kv._2._2) acc + 1 else acc,
+            _ + _)
+        reduced.unpersist()
         labels.unpersist()
         labels = short
         iter += 1
       }
       if (changed > 0) {
-        // cap bit without converging: surface it loudly — a silent partial
+        // cap hit without converging: surface it loudly — a silent partial
         // labeling would merge some clusters and not others. Release the
         // last iteration's cache first: a caller that catches and retries
         // with a higher maxIter (as the message suggests) must not
-        // accumulate one pinned DataFrame per failed attempt
+        // accumulate one pinned RDD per failed attempt
         labels.unpersist()
         throw new IllegalStateException(
           s"connectedComponents: not converged after $maxIter iterations " +
             s"($changed labels still moving) — raise maxIter")
       }
       // freeze the result (eager localCheckpoint truncates the loop's
-      // lineage), then release the cache entry — otherwise every call
-      // leaves a CacheManager-pinned DataFrame behind
-      val frozen = labels.select("doc_id", "component").localCheckpoint(true)
+      // lineage and leaves no CacheManager/BlockManager entries pinned
+      // once the RDD cache below is released)
+      val frozen = labels.toDF("doc_id", "component").localCheckpoint(true)
       labels.unpersist()
       (frozen, iter)
     } finally edges.unpersist()
