@@ -47,7 +47,11 @@ object CapRecall {
     def ratio(n: Long): Double =
       if (uncapped == 0) 1.0 else n.toDouble / uncapped
 
-    // planted clones of hot-bucket (> 64) members
+    // planted clones of hot-bucket (> 64) members. The clone-id offset is
+    // derived from max(doc_id)+1 (not a fixed constant) so a larger
+    // fixture can never alias a clone id onto a real doc_id — a collision
+    // would silently corrupt both the planted-pair filter and the union.
+    val cloneOffset = docs.agg(max("doc_id")).head().getLong(0) + 1L
     val hotIds = operators.Dedup.simhashKeysFor(docs)
       .groupBy("band_key").agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 64)
@@ -59,11 +63,11 @@ object CapRecall {
       else {
         val clones = docs
           .filter(col("doc_id").isin(hotIds.map(Long.box): _*))
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .select((col("doc_id") + cloneOffset).as("doc_id"), col("text"))
         val planted = docs.unionByName(clones)
         def recovered(cap: Int): Long =
           operators.Dedup.simhashDuplicates(planted, 3, cap)
-            .filter(col("doc_b") === col("doc_a") + 10000000L &&
+            .filter(col("doc_b") === col("doc_a") + cloneOffset &&
               col("doc_a").isin(hotIds.map(Long.box): _*))
             .count()
         val r64 = recovered(64)

@@ -41,33 +41,44 @@ object SparkEntry {
     * LazyFrame.
     */
   private[graft] def curatePipeline(s: SparkSession, dir: String): DataFrame = {
+    // Stage outputs are eagerly localCheckpoint'ed at each phase boundary:
+    // the detection operators evaluate their input several times (detect /
+    // confirm / remove scans; minhash keys + shingles + the final
+    // anti-join), so WITHOUT a materialization each downstream evaluation
+    // re-derives the ENTIRE upstream chain — the re-scan count compounds
+    // multiplicatively across the seven stages. A checkpoint makes every
+    // stage's text pass read a materialized leaf instead (this is what the
+    // "text scanned once per detection phase" contract means ACROSS the
+    // composition, not just within one operator); blocks are
+    // ContextCleaner-reclaimed, nothing stays pinned.
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val d = t(s, dir, "documents").select("doc_id", "source", "text")
     val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select("doc_id", "text")
     val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-    val q = corpus.select("doc_id", "text").join(
+    val q = ckpt(corpus.select("doc_id", "text").join(
       operators.TextAnalysis.qualitySignals(corpus.select("doc_id", "text"))
         .filter(col("ok_quality")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val lines = operators.Dedup.dedupLinesCorpus(q)
+      Seq("doc_id"), "left_semi"))
+    val lines = ckpt(operators.Dedup.dedupLinesCorpus(q)
       .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("text_clean").as("text"))
-    val spans = operators.Dedup.dedupSpansCorpus(lines, k = 16)
+      .select(col("doc_id"), col("text_clean").as("text")))
+    val spans = ckpt(operators.Dedup.dedupSpansCorpus(lines, k = 16)
       .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("text_clean").as("text"))
-    val near = operators.Dedup.dropNearDuplicates(spans, 0.8)
+      .select(col("doc_id"), col("text_clean").as("text")))
+    val near = ckpt(operators.Dedup.dropNearDuplicates(spans, 0.8))
     val clean = near.join(
       operators.Dedup.decontaminate(near, bench)
         .filter(!col("contaminated")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val toks = size(operators.TextAnalysis.wsTokens(col("text")))
-    val withSrc = clean
+    val withSrc = ckpt(clean
       .join(d.select("doc_id", "source"), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .select(col("doc_id"), col("source"), toks.as("n_tokens")))
     val plan = operators.Sampling.mixingPlan(withSrc, "source",
       col("n_tokens"), alpha = 0.5, budgetTokens = 50000L)
-    val mixed = operators.Sampling.applyMixingPlan(withSrc, plan,
-      "source", "doc_id")
+    val mixed = ckpt(operators.Sampling.applyMixingPlan(withSrc, plan,
+      "source", "doc_id"))
     operators.Packing.chunkTokens(mixed, "doc_id", 64)
       .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       .join(mixed.select("doc_id", "source", "n_tokens"), Seq("doc_id"))
@@ -592,12 +603,19 @@ object SparkEntry {
     "q_dedup_inc_near" -> ((s, dir) => {
       LazyFrame(s, StructType(Seq(StructField("doc_id", LongType)))) {
         val d = t(s, dir, "documents").select("doc_id", "text")
+        // history/batch are each evaluated several times downstream (band
+        // keys, shingles, candidate-sliver text, the final anti-join) —
+        // without a materialization every evaluation re-runs the full
+        // dropNearDuplicates chain; the checkpoint makes them leaves
+        // (same rows, ContextCleaner-reclaimed)
         val history = operators.Dedup.dropNearDuplicates(
           d.filter(pmod(col("doc_id"), lit(4)) =!= 0), 0.8)
+          .localCheckpoint(true)
         val batch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
           .unionByName(history.filter(col("doc_id") < 40)
             .select((col("doc_id") + 3000000).as("doc_id"),
               concat(col("text"), lit(" extra")).as("text")))
+          .localCheckpoint(true)
         operators.Dedup.incrementalNewNear(
           operators.Dedup.bandIndexFor(history), history, batch, 0.8)
           .select("doc_id")

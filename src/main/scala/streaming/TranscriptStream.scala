@@ -219,18 +219,42 @@ object TranscriptStream {
     val history =
       if (fs.exists(outP)) spark.read.parquet(outDir)
       else operators.Dedup.withTextHash(batch.select("doc_id", "text").limit(0))
-    // exact stage (null texts dropped, one id per in-batch text — the
-    // accepted TEXT set is deterministic, the surviving id of an in-batch
-    // exact-dup group is source-order-dependent, same as the exact tier)
+    // exact stage (null texts dropped, one id per in-batch text — min
+    // doc_id per text group, so the surviving id is DETERMINISTIC: a
+    // replay after a crash between the band-index append and the history
+    // append re-picks the SAME representative, and the phantom index keys
+    // are guaranteed to carry the replayed batch's own ids — a
+    // partition-order-dependent dropDuplicates("text") could orphan the
+    // first attempt's id in the index forever)
     val fresh = operators.Dedup.incrementalNewHashed(bloom,
       history.select("_h", "text"),
-      batch.filter(col("text").isNotNull).dropDuplicates("text")
+      batch.filter(col("text").isNotNull)
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "text"))
       .persist()
     try {
       if (fresh.count() == 0) return
+      val bandP = new org.apache.hadoop.fs.Path(bandPath)
+      val compactP = new org.apache.hadoop.fs.Path(bandPath + ".compact")
+      val stagedP = new org.apache.hadoop.fs.Path(bandPath + ".old")
+      // a live index must exist whenever history does: silently starting
+      // from an EMPTY index would accept near-clones of the entire
+      // history and lose history's keys forever (the exact leak the
+      // bloom→index→history write order prevents). The one legitimate
+      // way to be here with history but no live index is a crash inside
+      // compactBandIndex between its two renames — recover its complete
+      // staged copy; anything else is corrupted state and fails loudly.
+      if (!fs.exists(bandP) && fs.exists(outP)) {
+        require(fs.exists(compactP),
+          s"processNearDedupBatch: history at $outDir is non-empty but the " +
+            s"band index $bandPath is missing and no $compactP exists to " +
+            "recover — refusing to probe an empty index")
+        require(fs.rename(compactP, bandP),
+          s"processNearDedupBatch: could not recover $compactP to $bandPath")
+        if (fs.exists(stagedP)) fs.delete(stagedP, true)
+      }
       val index =
-        if (fs.exists(new org.apache.hadoop.fs.Path(bandPath)))
+        if (fs.exists(bandP))
           operators.Dedup.readBandIndex(spark, bandPath)
         else operators.Dedup.bandIndexFor(fresh.limit(0))
       val accepted = operators.Dedup.incrementalNewNear(index,
