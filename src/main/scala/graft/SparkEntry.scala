@@ -98,11 +98,21 @@ object SparkEntry {
     // no DuckDB oracle; gated by the ScalaTest conformance suite §6.3) ----
     "q_pipeline_labels" -> ((s, dir) => {
       Sessions.tune(s)
-      val scored = QualityPipeline.score(SynthStore(synthTurns(dir)).read(s).toDF())
-      scored.select(col("conv_id"), col("turn_idx"), col("keep"),
-        concat_ws("|", col("rule_hits")).as("rule_hits"),
-        col("lang"), col("scrubbed_text"))
+      // sort BEFORE scoring: the global sort's range-sampling pass
+      // re-executes its child, so `score(...).orderBy(...)` paid the whole
+      // scoring pass twice (measured 8.3 s vs 4.2 s for the unsorted
+      // scored frame). Sorting the windowed rows and scoring after the
+      // exchange computes every scorer exactly once, map-side; the
+      // projection preserves row order and (conv_id, turn_idx) is unique
+      // (the one idx-gap plant lands ABOVE every natural idx), so the
+      // output rows AND their order are identical.
+      val sorted = QualityPipeline
+        .withWindow(SynthStore(synthTurns(dir)).read(s).toDF())
         .orderBy("conv_id", "turn_idx")
+      QualityPipeline.scorePostWindow(sorted)
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("rule_hits")).as("rule_hits"),
+          col("lang"), col("scrubbed_text"))
     }),
     "q_pipeline_mp" -> ((s, dir) => {
       Sessions.tune(s)

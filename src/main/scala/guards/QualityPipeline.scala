@@ -15,17 +15,28 @@ object QualityPipeline {
 
   final val OrderCols = Seq("turn_idx", "ts", "role")
 
-  /** Adds window context, scoring columns, rule_hits, keep, scrubbed_text.
-    * Works on any DataFrame with the Turn schema.
+  /** Turn rows + the stable-window context columns (_rn, _prev_idx,
+    * _prev_role) — the one exchange of the label path, exposed so callers
+    * that need a differently-ordered output (e.g. a globally sorted
+    * export) can place their sort BETWEEN the window and the expensive
+    * scoring projections: a global sort's range-sampling pass re-executes
+    * its child, so sorting the scored rows pays the whole scoring pass
+    * twice, while sorting the windowed rows and scoring after costs one
+    * window re-read (the window's shuffle files are reused).
     */
-  def score(turns: DataFrame): DataFrame = {
+  def withWindow(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(OrderCols.map(col): _*)
-    val withWin = turns
+    turns
       .withColumn("_rn", row_number().over(w))
       .withColumn("_prev_idx", lag("turn_idx", 1).over(w))
       .withColumn("_prev_role", lag("role", 1).over(w))
-    scorePostWindow(withWin)
   }
+
+  /** Adds window context, scoring columns, rule_hits, keep, scrubbed_text.
+    * Works on any DataFrame with the Turn schema.
+    */
+  def score(turns: DataFrame): DataFrame =
+    scorePostWindow(withWindow(turns))
 
   /** Scoring + rules given precomputed window columns (_rn, _prev_idx,
     * _prev_role). Shared by the Column tier and the salted scale path.
