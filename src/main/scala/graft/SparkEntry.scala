@@ -118,12 +118,18 @@ object SparkEntry {
       Sessions.tune(s)
       // the broadcast-model comparison tier runs at 1/4 corpus size: it
       // exists to prove tier equivalence + amortized model shipping, not to
-      // re-benchmark the whole corpus a third time
-      Scoring.scoreBatched(s, SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+      // re-benchmark the whole corpus a third time. Sort BEFORE the typed
+      // scoring boundary (same rationale as q_pipeline_labels: the global
+      // sort's sampling pass re-executes its child, which here is the
+      // whole mapPartitions model pass); mapPartitions preserves row
+      // order and (conv_id, turn_idx) is unique, so output is identical.
+      val sorted = QualityPipeline
+        .withWindow(SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+        .orderBy("conv_id", "turn_idx")
+      Scoring.scoreBatchedPostWindow(s, sorted)
         .toDF()
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("rule_hits")).as("rule_hits"))
-        .orderBy("conv_id", "turn_idx")
     }),
 
     // ---------------- aggregation (#23, #25, #26) ----
@@ -754,8 +760,13 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "q_udaf_convstats" -> ((s, dir) => {
-      // typed-Dataset aggregator path: KeyValueGroupedDataset.agg(toColumn)
-      SynthStore(synthTurns(dir)).read(s)
+      // typed-Dataset aggregator path: KeyValueGroupedDataset.agg(toColumn).
+      // Built on the generator's OBJECT chain (flatMap → map → groupByKey
+      // fuse via EliminateSerialization, zero columnar round trip) — the
+      // store's columnar read would re-serialize just to deserialize again
+      // for the typed key function.
+      SynthStore.genTurns(s, synthTurns(dir))
+        .map(_.toTurn)(org.apache.spark.sql.Encoders.product[core.Turn])
         .groupByKey(_.conv_id)(org.apache.spark.sql.Encoders.STRING)
         .agg(operators.Aggregators.ConvStats.toColumn.name("cs"))
         .toDF("conv_id", "cs")

@@ -24,17 +24,23 @@ case class WinTurn(
   */
 object Scoring {
 
-  def scoreBatched(spark: SparkSession, turns: DataFrame): Dataset[ScoredTurn] = {
+  def scoreBatched(spark: SparkSession, turns: DataFrame): Dataset[ScoredTurn] =
+    scoreBatchedPostWindow(spark, QualityPipeline.withWindow(turns))
+
+  /** The batched-inference half given precomputed window columns — split
+    * out (mirroring QualityPipeline.withWindow/scorePostWindow) so a
+    * caller needing globally sorted output can sort the cheap windowed
+    * rows FIRST: a sort above the typed scoring boundary re-executes the
+    * whole mapPartitions pass in the range-sampling job, paying model
+    * scoring twice. mapPartitions preserves row order, so scoring after
+    * the sort yields identical rows in identical order.
+    */
+  def scoreBatchedPostWindow(spark: SparkSession,
+      withWin: DataFrame): Dataset[ScoredTurn] = {
     import spark.implicits._
-    val w = Window.partitionBy("conv_id").orderBy(QualityPipeline.OrderCols.map(col): _*)
-    val withWin = turns
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_prev_idx", lag("turn_idx", 1).over(w))
-      .withColumn("_prev_role", lag("role", 1).over(w))
-      .as[WinTurn]
     val bcLang = spark.sparkContext.broadcast(LangId.model)
     val bcLm = spark.sparkContext.broadcast(ByteLM.model)
-    withWin.mapPartitions { it =>
+    withWin.as[WinTurn].mapPartitions { it =>
       val langModel = bcLang.value
       val lmModel = bcLm.value
       it.map(wt => OracleEvaluator.scoreOne(
