@@ -66,8 +66,13 @@ object TrainingDataJob {
       // conversation-level exact dedup: min conv_id wins per fingerprint
       val winners = convs.groupBy("fp", "fp2").agg(min("conv_id").as("conv_id"))
       val unique = convs.join(winners, Seq("fp", "fp2", "conv_id"), "left_semi")
+      // persisted: the three per-split packs below each re-evaluate their
+      // input, which without this cache re-ran the dedup groupBy + semi
+      // join per split (4 evaluations total — measured ~2× the whole
+      // assignment tail). Conv-sized rows, released in the finally.
       val split = Sampling.assignSplit(unique, "conv_id",
         valPermille, testPermille)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pack per split so sequences never mix train and eval data; packing
       // keys on the conv_id string itself (packSequencesByKey), so the
       // group identity rides through the bin assignment verbatim — the
@@ -101,7 +106,10 @@ object TrainingDataJob {
             binStats.getAs[Long]("bins"),
             Option(binStats.getAs[java.lang.Double]("fill"))
               .map(_.doubleValue()).getOrElse(0.0)))
-      } finally assigned.unpersist()
+      } finally {
+        assigned.unpersist()
+        split.unpersist()
+      }
     } finally convs.unpersist()
   }
 
