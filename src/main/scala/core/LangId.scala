@@ -43,7 +43,8 @@ final class LangIdModel(val langs: Array[String], weights: Array[Array[Float]])
     val bytes = t.toLowerCase(Locale.ROOT).getBytes(UTF_8)
     if (bytes.length == 0) return ("und", 0.0)
     val scores = new Array[Double](nLangs)
-    LangId.foreachNgramHash(bytes) { h =>
+    if (nLangs == 5) scoreInto5(bytes, scores)
+    else LangId.foreachNgramHash(bytes) { h =>
       val base = h * nLangs
       var l = 0
       while (l < nLangs) { scores(l) += flat(base + l); l += 1 }
@@ -56,6 +57,42 @@ final class LangIdModel(val langs: Array[String], weights: Array[Array[Float]])
     l = 0
     while (l < scores.length) { denom += math.exp(scores(l) - scores(best)); l += 1 }
     (langs(best), 1.0 / denom)
+  }
+
+  /** Unrolled scoring for the shipped 5-language model: per n-gram, five
+    * local accumulators instead of an array load/store per language, and
+    * the 1-/2-gram hashes come from the precomputed tables (the 3-gram
+    * keeps the specialized Murmur3 call — a 16M-entry table would thrash).
+    * The per-language addition sequence is unchanged (same h order, same
+    * lang order), so every sum is bit-identical to the generic loop.
+    */
+  private def scoreInto5(bytes: Array[Byte], scores: Array[Double]): Unit = {
+    val f = flat
+    val h2t = LangId.hash2Table
+    val h1t = LangId.hash1Table
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      val b0 = bytes(i) & 0xff
+      var base = h1t(b0) * 5
+      s0 += f(base); s1 += f(base + 1); s2 += f(base + 2)
+      s3 += f(base + 3); s4 += f(base + 4)
+      if (i + 2 <= len) {
+        base = h2t(b0 | ((bytes(i + 1) & 0xff) << 8)) * 5
+        s0 += f(base); s1 += f(base + 1); s2 += f(base + 2)
+        s3 += f(base + 3); s4 += f(base + 4)
+      }
+      if (i + 3 <= len) {
+        base = (Murmur3.hash3(bytes(i), bytes(i + 1), bytes(i + 2),
+          Murmur3.DefaultSeed) & LangId.Mask) * 5
+        s0 += f(base); s1 += f(base + 1); s2 += f(base + 2)
+        s3 += f(base + 3); s4 += f(base + 4)
+      }
+      i += 1
+    }
+    scores(0) = s0; scores(1) = s1; scores(2) = s2
+    scores(3) = s3; scores(4) = s4
   }
 }
 
@@ -81,6 +118,14 @@ object LangId {
       i += 1
     }
   }
+
+  /** Precomputed hash tables for 1- and 2-byte n-grams (2/3 of all hash
+    * calls): 1 KB + 256 KB of ints, bit-identical to hash1/hash2. */
+  private[core] lazy val hash1Table: Array[Int] =
+    Array.tabulate(256)(b => Murmur3.hash1(b.toByte, Murmur3.DefaultSeed) & Mask)
+  private[core] lazy val hash2Table: Array[Int] =
+    Array.tabulate(65536)(k => Murmur3.hash2((k & 0xff).toByte,
+      ((k >> 8) & 0xff).toByte, Murmur3.DefaultSeed) & Mask)
 
   /** The one model instance (lazy; ~2.6 MB). Deterministic. */
   lazy val model: LangIdModel = build()

@@ -39,6 +39,17 @@ object PipelineProbe {
       .withColumn("_prev_idx", lag("turn_idx", 1).over(w))
       .withColumn("_prev_role", lag("role", 1).over(w)))
     force("score")(QualityPipeline.score(turns))
+    // component variants of scorePostWindow, to localize per-row cost
+    def withWin = QualityPipeline.withWindow(turns)
+    force("win+stats")(guards.Rules.withStats(withWin))
+    force("win+stats+lang")(guards.Rules.withStats(withWin)
+      .withColumn("lang", guards.expr.ScoreFns.langIdLabel(col("_tn")))
+      .withColumn("lang_conf", guards.expr.ScoreFns.langIdConf(col("_tn"))))
+    force("win+stats+ppl")(guards.Rules.withStats(withWin)
+      .withColumn("ppl", guards.expr.ScoreFns.bytePerplexity(col("_tn"))))
+    force("win+scrub-only")(withWin
+      .withColumn("scrubbed_text",
+        guards.expr.ScoreFns.scrubText(coalesce(col("text"), lit("")))))
     force("labels-query")(SparkEntry.queries("q_pipeline_labels")(spark,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
     // the frozen Bench.scala steady-pipeline formulation, verbatim

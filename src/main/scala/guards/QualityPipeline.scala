@@ -52,7 +52,13 @@ object QualityPipeline {
       col("lang"), col("lang_conf"), col("ppl"))
     scoredCols
       .withColumn("rule_hits", Rules.ruleHits(rules))
-      .withColumn("keep", size(col("rule_hits")) === 0)
+      // keep ⟺ rule_hits empty, but expressed over the violation
+      // predicates directly: `size(rule_hits) === 0` made every
+      // filter(keep) consumer re-evaluate the whole rule-array expression
+      // a second time (the filter predicate and the projected column each
+      // inline it), while the bare OR over `violated` is cheap — the
+      // heavy scorer inputs are memoized per row
+      .withColumn("keep", !rules.map(_.violated).reduce(_ || _))
       .withColumn("scrubbed_text", ScoreFns.scrubText(col("_tn")))
       .drop("_rn", "_prev_idx", "_prev_role")
       .drop(Rules.StatCols: _*)
