@@ -302,12 +302,17 @@ object SparkEntry {
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
         .orderBy("hour_epoch")),
+    // sort-then-project (here and in q_doc_rules/q_tokens/q_quality):
+    // a global sort ABOVE a regex-heavy projection re-runs the projection
+    // in its range-sampling pass; sorting the raw scan first and
+    // projecting after computes each regex exactly once — same rows, same
+    // order (doc_id is unique), oracle-identical
     "q_strings" -> ((s, dir) =>
       t(s, dir, "documents")
+        .orderBy("doc_id")
         .select(col("doc_id"), length(col("text")).as("n_cp"),
           upper(substring(col("text"), 1, 8)).as("head8"),
-          length(regexp_replace(col("text"), " ", "")).as("n_nospace"))
-        .orderBy("doc_id")),
+          length(regexp_replace(col("text"), " ", "")).as("n_nospace"))),
     "q_array_stats" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), size(col("embedding")).as("dim"),
@@ -320,13 +325,12 @@ object SparkEntry {
     "q_doc_rules" -> ((s, dir) => {
       val txt = col("text")
       val cp = length(txt)
-      t(s, dir, "documents").select(
+      t(s, dir, "documents").orderBy("doc_id").select(
         col("doc_id"),
         (cp >= 2 && cp <= 8000).as("ok_len"),
         regexp_count(lower(txt), lit("[\\p{L}\\p{N}]+")).between(1, 2000).as("ok_words"),
         (regexp_count(txt, lit("[^\\p{L}\\p{N}\\s]")) * 100 <= cp * 30).as("ok_sym"),
         (regexp_count(txt, lit("[0-9]")) * 100 <= cp * 50).as("ok_digit"))
-        .orderBy("doc_id")
     }),
     "q_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -690,7 +694,10 @@ object SparkEntry {
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
           element_at(col("feat"), 1).as("f0"), col("batch_size"),
           col("decode_ok"))
-        .orderBy("doc_id")),
+        // the extract output is ONE partition (pinned above), so a
+        // within-partition sort IS the global doc_id order — without the
+        // range-sort sampling pass, which re-ran the whole decode
+        .sortWithinPartitions("doc_id")),
     "q_multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.extractAudioFeatures(s,
         operators.Multimodal.synthesizeAudio(
@@ -700,7 +707,7 @@ object SparkEntry {
         .select(col("doc_id"), size(col("feat")).as("feat_dim"),
           element_at(col("feat"), 1).as("rms"), col("batch_size"),
           col("decode_ok"))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "q_langid_docs" -> ((s, dir) =>
       operators.TextAnalysis.langIdBreakdown(t(s, dir, "documents"))
         .orderBy("lang_label", "lang_pred")),
@@ -829,9 +836,11 @@ object SparkEntry {
 
     // ---------------- token counting / quality scoring (oracle-checked) ----
     "q_tokens" -> ((s, dir) =>
-      operators.TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+      operators.TextAnalysis.tokenCounts(
+        t(s, dir, "documents").orderBy("doc_id"))),
     "q_quality" -> ((s, dir) =>
-      operators.TextAnalysis.qualitySignals(t(s, dir, "documents")).orderBy("doc_id")),
+      operators.TextAnalysis.qualitySignals(
+        t(s, dir, "documents").orderBy("doc_id"))),
     // exact percentiles (linear interpolation — the sequence-length stats a
     // curriculum/packing stage reads); DuckDB quantile_cont is the same
     // definition
