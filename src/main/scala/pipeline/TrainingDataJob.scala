@@ -88,24 +88,31 @@ object TrainingDataJob {
       }
       val assigned = packedPerSplit.reduce(_ unionByName _).cache()
       try {
-        val convsKept = assigned.count()
-        val splitCounts = assigned.groupBy("split").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val binStats = assigned
+        // ONE stats action instead of three (count / per-split counts /
+        // bin stats): every summary derives from the ≤3-row per-split
+        // rollup of the per-(split, seq_id) aggregate — same long sums in
+        // a different grouping order (order-independent), same final
+        // double division, so every Result field is bit-identical while
+        // `assigned` is scanned once, not three times.
+        val perSplit = assigned
           .groupBy("split", "seq_id")
-          .agg(sum("n_tokens").as("t"), max(col("oversize").cast("int")).as("over"))
-          .agg(count(lit(1)).as("bins"),
-            // try_divide: all-oversize ⇒ zero non-oversize bins, and ANSI
-            // mode faults a plain division instead of nulling it
-            try_divide(sum(when(col("over") === 0, col("t")).otherwise(0)),
-              sum(when(col("over") === 0, 1).otherwise(0)) * maxTokens.toLong)
-              .as("fill"))
-          .head()
+          .agg(count(lit(1)).as("n_convs"), sum("n_tokens").as("t"),
+            max(col("oversize").cast("int")).as("over"))
+          .groupBy("split")
+          .agg(sum("n_convs").as("convs"), count(lit(1)).as("bins"),
+            sum(when(col("over") === 0, col("t")).otherwise(0)).as("fill_num"),
+            sum(when(col("over") === 0, 1).otherwise(0)).as("fill_bins"))
+          .collect()
+        val splitCounts = perSplit.map(r =>
+          r.getString(0) -> r.getLong(1)).toMap
+        val fillDen = perSplit.map(_.getLong(4)).sum * maxTokens.toLong
+        val fillNum = perSplit.map(_.getLong(3)).sum
         (assigned,
-          Result(convsIn, convsKept, splitCounts,
-            binStats.getAs[Long]("bins"),
-            Option(binStats.getAs[java.lang.Double]("fill"))
-              .map(_.doubleValue()).getOrElse(0.0)))
+          Result(convsIn, splitCounts.values.sum, splitCounts,
+            perSplit.map(_.getLong(2)).sum,
+            // matches the previous try_divide(BIGINT, BIGINT): both casts
+            // to double then one IEEE division; zero non-oversize bins ⇒ 0.0
+            if (fillDen == 0L) 0.0 else fillNum.toDouble / fillDen.toDouble))
       } finally {
         assigned.unpersist()
         split.unpersist()

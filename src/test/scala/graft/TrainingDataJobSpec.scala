@@ -47,6 +47,29 @@ class TrainingDataJobSpec extends AnyFunSuite {
     } finally base.unpersist()
   }
 
+  test("single-action summary stats equal the reference three-action formulation") {
+    // assign() derives convsKept / splitConvs / bins / fillRatio from ONE
+    // per-split rollup; this pins them against the direct (count,
+    // groupBy-split, global bin agg) computation over the same assignment
+    val (assigned, res) = TrainingDataJob.assign(spark, kept,
+      maxTokens = 512, packPartitions = 4)
+    val a = assigned.cache()
+    try {
+      assert(res.convsKept == a.count())
+      assert(res.splitConvs == a.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val binStats = a.groupBy("split", "seq_id")
+        .agg(sum("n_tokens").as("t"), max(col("oversize").cast("int")).as("over"))
+        .agg(count(lit(1)).as("bins"),
+          try_divide(sum(when(col("over") === 0, col("t")).otherwise(0)),
+            sum(when(col("over") === 0, 1).otherwise(0)) * 512L).as("fill"))
+        .head()
+      assert(res.bins == binStats.getAs[Long]("bins"))
+      assert(res.fillRatio == binStats.getAs[Double]("fill"),
+        "fill must be the same IEEE division of the same long totals")
+    } finally a.unpersist()
+  }
+
   test("assignment is deterministic across reruns") {
     def once() = TrainingDataJob.assign(spark, kept,
       maxTokens = 512, packPartitions = 4)._1
