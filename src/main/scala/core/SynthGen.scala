@@ -244,3 +244,18 @@ object SynthGen {
   def corpus(totalTurnsTarget: Long): Seq[GenTurn] =
     (0L until nConversations(totalTurnsTarget)).flatMap(genConv(_, totalTurnsTarget))
 }
+
+/** The synth generator's partition function as a NAMED class (not an
+  * anonymous lambda) so consumers can recognize generator-sourced plans
+  * structurally: `QualityPipeline.score` checks for this exact class in
+  * the MapPartitions node to prove its input is conversation-clustered
+  * (one range ordinal expands to one whole conversation with a unique
+  * conv_id — `genConv`'s f"c$ordinal%08d" — so conversations are complete
+  * and contiguous within every partition by construction) and take the
+  * zero-shuffle scoring path.
+  */
+final class GenConvFlat(totalTurnsTarget: Long)
+    extends (Iterator[java.lang.Long] => Iterator[GenTurn]) with Serializable {
+  def apply(it: Iterator[java.lang.Long]): Iterator[GenTurn] =
+    it.flatMap(ord => SynthGen.genConv(ord, totalTurnsTarget))
+}

@@ -56,6 +56,12 @@ object PipelineProbe {
     force("bench-pipeline")(QualityPipeline.select(
       QualityPipeline.score(store.read(spark).toDF()))
       .filter(col("keep")))
+    // the zero-shuffle clustered variant on the same generator input
+    force("clustered")(QualityPipeline.scoreClustered(spark,
+      store.read(spark).toDF()))
+    force("bench-clustered")(QualityPipeline.select(
+      QualityPipeline.scoreClustered(spark, store.read(spark).toDF()))
+      .filter(col("keep")))
     spark.stop()
   }
 }

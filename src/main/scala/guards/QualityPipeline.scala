@@ -34,9 +34,42 @@ object QualityPipeline {
 
   /** Adds window context, scoring columns, rule_hits, keep, scrubbed_text.
     * Works on any DataFrame with the Turn schema.
+    *
+    * Source specialization (guide §2.4 "remove shuffles outright"): when
+    * the input is PROVABLY conversation-clustered — the analyzed plan is
+    * exactly the synth generator chain, where one range ordinal expands to
+    * one whole uniquely-id'd conversation — the window context is computed
+    * partition-locally via `scoreClustered` and the label path's only
+    * exchange disappears. Labels are identical by the conformance suite's
+    * clustered==window oracle assertion; any other plan node (repartition,
+    * filter, union, a parquet scan…) falls through to the generic window
+    * path.
     */
   def score(turns: DataFrame): DataFrame =
-    scorePostWindow(withWindow(turns))
+    if (isClusteredGeneratorPlan(turns)) scoreClustered(turns.sparkSession, turns)
+    else scorePostWindow(withWindow(turns))
+
+  /** True iff `turns` is exactly the synth generator read: attribute-only
+    * projections over SerializeFromObject(MapPartitions(core.GenConvFlat)).
+    * Attribute-only Projects can drop/reorder columns but never change
+    * rows or row order, so the generator's conversation-contiguity
+    * guarantee survives them; ANY other node fails the match.
+    */
+  private def isClusteredGeneratorPlan(turns: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def chase(p: LogicalPlan): Boolean = p match {
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => chase(child)
+      case SubqueryAlias(_, child) => chase(child)
+      case s: SerializeFromObject => s.child match {
+        case m: MapPartitions => m.func.isInstanceOf[core.GenConvFlat]
+        case _ => false
+      }
+      case _ => false
+    }
+    chase(turns.queryExecution.analyzed)
+  }
 
   /** Scoring + rules given precomputed window columns (_rn, _prev_idx,
     * _prev_role). Shared by the Column tier and the salted scale path.
@@ -82,8 +115,14 @@ object QualityPipeline {
         private val buf = scala.collection.mutable.ArrayBuffer.empty[core.Turn]
         private var out: Iterator[WinTurn] = Iterator.empty
         private var pending: Option[core.Turn] = None
+        // loud contract check: a conv_id recurring AFTER its group was
+        // flushed means the source was NOT conversation-contiguous — the
+        // fragments would silently get wrong _rn/_prev context, so fail
+        // instead (O(convs-per-partition) ids, trivial vs the row data)
+        private val flushed = scala.collection.mutable.HashSet.empty[String]
 
         private def flushConv(): Unit = {
+          flushed += buf.head.conv_id
           val sorted = buf.sortBy(t => (t.turn_idx,
             Option(t.ts).map(_.getTime).getOrElse(Long.MinValue),
             Option(t.role).getOrElse("")))
@@ -109,6 +148,11 @@ object QualityPipeline {
               pending = Some(t)
               flushConv()
             } else {
+              if (buf.isEmpty)
+                require(!flushed.contains(t.conv_id),
+                  s"scoreClustered: conversation '${t.conv_id}' is not " +
+                    "contiguous within its partition — the source violates " +
+                    "the conv-clustered contract")
               buf += t
               if (!it.hasNext && pending.isEmpty) flushConv()
             }

@@ -71,7 +71,11 @@ final case class SynthStore(totalTurnsTarget: Long) extends TranscriptStore {
 object SynthStore {
   def genTurns(spark: SparkSession, totalTurnsTarget: Long): Dataset[GenTurn] = {
     import spark.implicits._
+    // mapPartitions with the NAMED core.GenConvFlat — flatMap(f) is
+    // mapPartitions(_.flatMap(f)) under the hood, so rows, order and plan
+    // shape are identical; the named class is what lets
+    // QualityPipeline.score recognize the conv-clustered source.
     spark.range(SynthGen.nConversations(totalTurnsTarget))
-      .flatMap(ord => SynthGen.genConv(ord, totalTurnsTarget))
+      .mapPartitions(new core.GenConvFlat(totalTurnsTarget))
   }
 }

@@ -44,14 +44,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("window label path: exactly ONE exchange (the conv_id window hash)") {
+  test("score() auto-detects the conv-clustered generator: ZERO exchanges") {
     withoutAqe {
       val scored = QualityPipeline.score(SynthStore(2000L).read(spark).toDF())
+      val ex = shuffles(QualityPipeline.select(scored))
+      assert(ex.isEmpty,
+        s"generator-sourced score() must take the zero-shuffle clustered " +
+          s"path, got ${ex.size} exchange(s):\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("window label path: exactly ONE exchange (the conv_id window hash)") {
+    withoutAqe {
+      // scorePostWindow(withWindow(..)) is the generic window formulation
+      // score() falls back to for any non-generator plan
+      val scored = QualityPipeline.scorePostWindow(
+        QualityPipeline.withWindow(SynthStore(2000L).read(spark).toDF()))
       val ex = shuffles(QualityPipeline.select(scored))
       assert(ex.size == 1,
         s"label path must shuffle exactly once, got ${ex.size}:\n${ex.mkString("\n")}")
       assert(ex.head.outputPartitioning.toString.contains("conv_id"),
         s"the single exchange is not the conv_id window hash: ${ex.head}")
+    }
+  }
+
+  test("score() on any non-generator plan falls back to the window path") {
+    withoutAqe {
+      // a repartition by conv_id preserves conv grouping but is NOT the
+      // bare generator chain — detection must NOT fire (the plan keeps a
+      // shuffle; labels equality under repartitioning is asserted in
+      // PipelineConformanceSpec)
+      val scored = QualityPipeline.score(
+        SynthStore(2000L).read(spark).toDF()
+          .repartition(5, org.apache.spark.sql.functions.col("conv_id")))
+      assert(shuffles(QualityPipeline.select(scored)).nonEmpty,
+        "repartitioned input must use the generic window path")
     }
   }
 
