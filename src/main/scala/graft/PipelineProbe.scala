@@ -52,6 +52,20 @@ object PipelineProbe {
         guards.expr.ScoreFns.scrubText(coalesce(col("text"), lit("")))))
     force("labels-query")(SparkEntry.queries("q_pipeline_labels")(spark,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    def labelsSelect(sorted: org.apache.spark.sql.DataFrame) =
+      QualityPipeline.scorePostWindow(sorted)
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("rule_hits")).as("rule_hits"),
+          col("lang"), col("scrubbed_text"))
+    force("labels-win")(labelsSelect(
+      QualityPipeline.withWindow(turns).orderBy("conv_id", "turn_idx")))
+    force("labels-cwin")(labelsSelect(
+      QualityPipeline.withWindowClustered(spark, turns)
+        .orderBy("conv_id", "turn_idx")))
+    force("labels-ckpt")(labelsSelect(
+      QualityPipeline.withWindowClustered(spark, turns)
+        .localCheckpoint(true)
+        .orderBy("conv_id", "turn_idx")))
     // the frozen Bench.scala steady-pipeline formulation, verbatim
     force("bench-pipeline")(QualityPipeline.select(
       QualityPipeline.score(store.read(spark).toDF()))

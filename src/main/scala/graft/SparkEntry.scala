@@ -106,8 +106,16 @@ object SparkEntry {
       // projection preserves row order and (conv_id, turn_idx) is unique
       // (the one idx-gap plant lands ABOVE every natural idx), so the
       // output rows AND their order are identical.
+      // clustered windowing instead of the conv_id window exchange (the
+      // generator is conv-contiguous; same detection contract as score()):
+      // the corpus now crosses ONE exchange (the range sort) instead of
+      // two. The localCheckpoint materializes the windowed rows so the
+      // sort's range-sampling pass scans the checkpoint instead of
+      // re-running generation+windowing (same stage-boundary rationale as
+      // the curate composition's checkpoints).
       val sorted = QualityPipeline
-        .withWindow(SynthStore(synthTurns(dir)).read(s).toDF())
+        .withWindowClustered(s, SynthStore(synthTurns(dir)).read(s).toDF())
+        .localCheckpoint(true)
         .orderBy("conv_id", "turn_idx")
       QualityPipeline.scorePostWindow(sorted)
         .select(col("conv_id"), col("turn_idx"), col("keep"),
@@ -124,7 +132,9 @@ object SparkEntry {
       // whole mapPartitions model pass); mapPartitions preserves row
       // order and (conv_id, turn_idx) is unique, so output is identical.
       val sorted = QualityPipeline
-        .withWindow(SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+        .withWindowClustered(s,
+          SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+        .localCheckpoint(true)
         .orderBy("conv_id", "turn_idx")
       Scoring.scoreBatchedPostWindow(s, sorted)
         .toDF()

@@ -108,7 +108,16 @@ object QualityPipeline {
     *
     * Correctness vs the window path is asserted in PipelineConformanceSpec.
     */
-  def scoreClustered(spark: org.apache.spark.sql.SparkSession, turns: DataFrame): DataFrame = {
+  def scoreClustered(spark: org.apache.spark.sql.SparkSession, turns: DataFrame): DataFrame =
+    scorePostWindow(withWindowClustered(spark, turns))
+
+  /** The partition-local windowing half of `scoreClustered`: WinTurn rows
+    * with the same _rn/_prev context columns `withWindow` computes, but
+    * derived per conversation inside each partition — zero exchange.
+    * Exposed (like `withWindow`) so sorted-export callers can place a sort
+    * between the windowing and the expensive scoring projections.
+    */
+  def withWindowClustered(spark: org.apache.spark.sql.SparkSession, turns: DataFrame): DataFrame = {
     import spark.implicits._
     val withWin = turns.as[core.Turn].mapPartitions { it =>
       new Iterator[WinTurn] {
@@ -163,7 +172,7 @@ object QualityPipeline {
         override def next(): WinTurn = { fill(); out.next() }
       }
     }
-    scorePostWindow(withWin.toDF())
+    withWin.toDF()
   }
 
   /** Output projection matching core.ScoredTurn field order. */
