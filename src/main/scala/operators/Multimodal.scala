@@ -181,15 +181,46 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16, 1,
-      true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    finally ais.close()
-    out.toByteArray
+    wavContainer(pcm)
+  }
+
+  /** The canonical 44-byte RIFF/WAVE container around 16-bit mono LE PCM
+    * — byte-identical to what `AudioSystem.write(..., Type.WAVE, ...)`
+    * emits for this format (asserted against the JDK writer in
+    * MultimodalSpec). Hand-rolled because AudioSystem.write does a
+    * SYNCHRONIZED provider-registry lookup per call: 32 render tasks
+    * convoyed on that lock and the render stage ran slower than a single
+    * thread (measured 1.11 s wall vs 0.58 s single-threaded total).
+    */
+  private[operators] def wavContainer(pcm: Array[Byte]): Array[Byte] = {
+    val dataSize = pcm.length
+    val out = new Array[Byte](44 + dataSize)
+    def putAscii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putShortLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val sr = AudioSampleRate.toInt
+    putAscii(0, "RIFF"); putIntLE(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putIntLE(16, 16)
+    putShortLE(20, 1)          // PCM
+    putShortLE(22, 1)          // mono
+    putIntLE(24, sr)
+    putIntLE(28, sr * 2)       // byte rate = sr * blockAlign
+    putShortLE(32, 2)          // blockAlign = channels * bytes/sample
+    putShortLE(34, 16)         // bits per sample
+    putAscii(36, "data"); putIntLE(40, dataSize)
+    System.arraycopy(pcm, 0, out, 44, dataSize)
+    out
   }
 
   private val renderWavUdf = udf((docId: Long, text: String) =>
@@ -211,6 +242,44 @@ object Multimodal {
     * job-killer.
     */
   private[operators] def decodeWav(payload: Array[Byte]): Option[Array[Short]] = {
+    // Fast path: the EXACT canonical container `wavContainer` writes
+    // (complete, consistent sizes, PCM 16-bit mono LE at AudioSampleRate).
+    // For such a payload AudioSystem yields precisely the data-chunk bytes,
+    // so the samples are identical (asserted vs the AudioSystem path in
+    // MultimodalSpec); anything else — including every corrupt/truncated/
+    // foreign-format shape — falls through to the JDK stack below so the
+    // error semantics are untouched. This skips AudioSystem's synchronized
+    // provider-registry lookup per doc on the hot single-task extract.
+    if (payload.length >= 44 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+        payload(11) == 'E' &&
+        payload(12) == 'f' && payload(13) == 'm' && payload(14) == 't' &&
+        payload(15) == ' ') {
+      def intLE(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def shortLE(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      val dataSize = intLE(40)
+      if (intLE(4) == 36 + dataSize && intLE(16) == 16 &&
+          shortLE(20) == 1 && shortLE(22) == 1 &&
+          intLE(24) == AudioSampleRate.toInt &&
+          intLE(28) == AudioSampleRate.toInt * 2 && shortLE(32) == 2 &&
+          shortLE(34) == 16 &&
+          payload(36) == 'd' && payload(37) == 'a' && payload(38) == 't' &&
+          payload(39) == 'a' &&
+          dataSize >= 0 && dataSize % 2 == 0 && 44 + dataSize == payload.length) {
+        val n = dataSize / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((payload(44 + 2 * i + 1) & 0xff) << 8)
+            | (payload(44 + 2 * i) & 0xff)).toShort
+          i += 1
+        }
+        return Some(samples)
+      }
+    }
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(payload))
