@@ -118,61 +118,104 @@ object QualityPipeline {
     * between the windowing and the expensive scoring projections.
     */
   def withWindowClustered(spark: org.apache.spark.sql.SparkSession, turns: DataFrame): DataFrame = {
-    import spark.implicits._
-    val withWin = turns.as[core.Turn].mapPartitions { it =>
-      new Iterator[WinTurn] {
-        private val buf = scala.collection.mutable.ArrayBuffer.empty[core.Turn]
-        private var out: Iterator[WinTurn] = Iterator.empty
-        private var pending: Option[core.Turn] = None
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // InternalRow-level windower, NOT a typed mapPartitions: the object
+    // boundary deserialized every field of every Turn (full text decode)
+    // and re-serialized the WinTurn just to append three small columns.
+    // Here rows stay serialized; only conv_id / turn_idx / role / ts are
+    // touched, and the three context columns ride a JoinedRow.
+    // Same per-conversation state machine and the same pinned stable sort
+    // as the old object path: (turn_idx, ts-millis, role-as-String) with
+    // a STABLE sort, so ties keep arrival order exactly as before.
+    val pruned = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val outSchema = pruned.schema
+      .add(StructField("_rn", IntegerType, nullable = false))
+      .add(StructField("_prev_idx", IntegerType, nullable = true))
+      .add(StructField("_prev_role", StringType, nullable = true))
+    val rdd = pruned.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private final val IConv = 0
+        private final val IIdx = 1
+        private final val IRole = 2
+        private final val ITs = 5
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var pending: InternalRow = null
         // loud contract check: a conv_id recurring AFTER its group was
         // flushed means the source was NOT conversation-contiguous — the
         // fragments would silently get wrong _rn/_prev context, so fail
-        // instead (O(convs-per-partition) ids, trivial vs the row data)
-        private val flushed = scala.collection.mutable.HashSet.empty[String]
+        // instead. Stored as OWNED byte copies so the set pins only the
+        // ids, never the copied rows they came from.
+        private val flushed = scala.collection.mutable.HashSet.empty[UTF8String]
+
+        private def conv(r: InternalRow): UTF8String =
+          if (r.isNullAt(IConv)) null else r.getUTF8String(IConv)
+        private def owned(u: UTF8String): UTF8String =
+          if (u == null) null else UTF8String.fromBytes(u.getBytes)
+        private def sameConv(a: UTF8String, b: UTF8String): Boolean =
+          if (a == null) b == null else a.equals(b)
 
         private def flushConv(): Unit = {
-          flushed += buf.head.conv_id
-          val sorted = buf.sortBy(t => (t.turn_idx,
-            Option(t.ts).map(_.getTime).getOrElse(Long.MinValue),
-            Option(t.role).getOrElse("")))
+          flushed += owned(conv(buf.head))
+          val sorted = buf.sortBy { r =>
+            // ts compares by MILLIS (what java.sql.Timestamp.getTime gave
+            // the object path; Spark stores micros — floorDiv matches
+            // toJavaTimestamp); role compares as a JVM String, matching
+            // the old (Int, Long, String) tuple ordering bit for bit
+            (r.getInt(IIdx),
+              if (r.isNullAt(ITs)) Long.MinValue
+              else Math.floorDiv(r.getLong(ITs), 1000L),
+              if (r.isNullAt(IRole)) "" else r.getUTF8String(IRole).toString)
+          }
           var rn = 0
-          var prevIdx: Option[Int] = None
-          var prevRole: Option[String] = None
-          out = sorted.map { t =>
+          var hasPrev = false
+          var prevIdx = 0
+          var prevRole: UTF8String = null
+          out = sorted.iterator.map { r =>
             rn += 1
-            val w = WinTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-              rn, prevIdx, prevRole)
-            prevIdx = Some(t.turn_idx)
-            prevRole = Option(t.role)
-            w
-          }.iterator
+            val extra = new GenericInternalRow(3)
+            extra.update(0, rn)
+            if (hasPrev) extra.update(1, prevIdx) else extra.setNullAt(1)
+            if (hasPrev && prevRole != null) extra.update(2, prevRole)
+            else extra.setNullAt(2)
+            val j = new JoinedRow(r, extra)
+            hasPrev = true
+            prevIdx = r.getInt(IIdx)
+            prevRole = if (r.isNullAt(IRole)) null else r.getUTF8String(IRole)
+            j
+          }
           buf.clear()
         }
 
         private def fill(): Unit = {
-          while (!out.hasNext && (pending.nonEmpty || it.hasNext)) {
-            val t = pending.getOrElse(it.next())
-            pending = None
-            if (buf.nonEmpty && buf.head.conv_id != t.conv_id) {
-              pending = Some(t)
+          while (!out.hasNext && (pending != null || it.hasNext)) {
+            val t =
+              if (pending != null) { val p = pending; pending = null; p }
+              else it.next().copy() // the scan iterator reuses its row
+            if (buf.nonEmpty && !sameConv(conv(buf.head), conv(t))) {
+              pending = t
               flushConv()
             } else {
               if (buf.isEmpty)
-                require(!flushed.contains(t.conv_id),
-                  s"scoreClustered: conversation '${t.conv_id}' is not " +
+                require(!flushed.contains(conv(t)),
+                  s"scoreClustered: conversation '${conv(t)}' is not " +
                     "contiguous within its partition — the source violates " +
                     "the conv-clustered contract")
               buf += t
-              if (!it.hasNext && pending.isEmpty) flushConv()
+              if (!it.hasNext && pending == null) flushConv()
             }
           }
         }
 
         override def hasNext: Boolean = { fill(); out.hasNext }
-        override def next(): WinTurn = { fill(); out.next() }
+        override def next(): InternalRow = { fill(); out.next() }
       }
     }
-    withWin.toDF()
+    org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(spark, rdd, outSchema)
   }
 
   /** Output projection matching core.ScoredTurn field order. */
