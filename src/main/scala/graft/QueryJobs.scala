@@ -24,23 +24,13 @@ object QueryJobs {
     spark.sparkContext.setLogLevel("WARN")
     Sessions.tune(spark)
     val fn = SparkEntry.queries(name)
-    @volatile var record = false
-    val lsn = new SparkListener {
-      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        t0.put(j.jobId, (System.nanoTime(),
-          Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (record) {
-        val (s, d) = t0.get(j.jobId)
-        println(f"QJ job ${j.jobId}%4d ${(System.nanoTime() - s) / 1e9}%6.2f s  $d")
-      }
-    }
-    spark.sparkContext.addSparkListener(lsn)
     (1 to reps).foreach { i =>
-      record = i == reps
+      val lsn = if (i == reps) Some(new JobTimingListener("QJ")) else None
+      lsn.foreach(spark.sparkContext.addSparkListener)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"QJ $name #$i total ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      lsn.foreach(spark.sparkContext.removeSparkListener)
     }
     spark.stop()
   }

@@ -35,7 +35,11 @@ object ScalingMain {
     def once(clustered: Boolean): Double = {
       val scored =
         if (clustered) QualityPipeline.scoreClustered(spark, input)
-        else QualityPipeline.score(input)
+        // the EXPLICIT window formulation, not score(): score()'s
+        // clustered-source detection fires on the persisted generator
+        // frame (persist does not change the analyzed plan), which would
+        // silently measure the clustered path in BOTH arms
+        else QualityPipeline.scorePostWindow(QualityPipeline.withWindow(input))
       val t0 = System.nanoTime()
       force(QualityPipeline.select(scored).filter(col("keep")))
       (System.nanoTime() - t0) / 1e9

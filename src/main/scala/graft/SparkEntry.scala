@@ -4,7 +4,7 @@ import guards.{QualityPipeline, Scoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import pipeline.{Sessions, SynthStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §8.7 + the builder prompt.
@@ -112,15 +112,22 @@ object SparkEntry {
       // two. The localCheckpoint materializes the windowed rows so the
       // sort's range-sampling pass scans the checkpoint instead of
       // re-running generation+windowing (same stage-boundary rationale as
-      // the curate composition's checkpoints).
-      val sorted = QualityPipeline
-        .withWindowClustered(s, SynthStore(synthTurns(dir)).read(s).toDF())
-        .localCheckpoint(true)
-        .orderBy("conv_id", "turn_idx")
-      QualityPipeline.scorePostWindow(sorted)
-        .select(col("conv_id"), col("turn_idx"), col("keep"),
-          concat_ws("|", col("rule_hits")).as("rule_hits"),
-          col("lang"), col("scrubbed_text"))
+      // the curate composition's checkpoints); the LazyFrame defers that
+      // eager checkpoint job to first action, so explain-only consumers
+      // pay nothing (same convention as q_curate_e2e).
+      LazyFrame(s, StructType(Seq(StructField("conv_id", StringType),
+        StructField("turn_idx", IntegerType), StructField("keep", BooleanType),
+        StructField("rule_hits", StringType), StructField("lang", StringType),
+        StructField("scrubbed_text", StringType)))) {
+        val sorted = QualityPipeline
+          .withWindowClustered(s, SynthStore(synthTurns(dir)).read(s).toDF())
+          .localCheckpoint(true)
+          .orderBy("conv_id", "turn_idx")
+        QualityPipeline.scorePostWindow(sorted)
+          .select(col("conv_id"), col("turn_idx"), col("keep"),
+            concat_ws("|", col("rule_hits")).as("rule_hits"),
+            col("lang"), col("scrubbed_text"))
+      }
     }),
     "q_pipeline_mp" -> ((s, dir) => {
       Sessions.tune(s)
@@ -131,15 +138,19 @@ object SparkEntry {
       // sort's sampling pass re-executes its child, which here is the
       // whole mapPartitions model pass); mapPartitions preserves row
       // order and (conv_id, turn_idx) is unique, so output is identical.
-      val sorted = QualityPipeline
-        .withWindowClustered(s,
-          SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
-        .localCheckpoint(true)
-        .orderBy("conv_id", "turn_idx")
-      Scoring.scoreBatchedPostWindow(s, sorted)
-        .toDF()
-        .select(col("conv_id"), col("turn_idx"), col("keep"),
-          concat_ws("|", col("rule_hits")).as("rule_hits"))
+      LazyFrame(s, StructType(Seq(StructField("conv_id", StringType),
+        StructField("turn_idx", IntegerType), StructField("keep", BooleanType),
+        StructField("rule_hits", StringType)))) {
+        val sorted = QualityPipeline
+          .withWindowClustered(s,
+            SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+          .localCheckpoint(true)
+          .orderBy("conv_id", "turn_idx")
+        Scoring.scoreBatchedPostWindow(s, sorted)
+          .toDF()
+          .select(col("conv_id"), col("turn_idx"), col("keep"),
+            concat_ws("|", col("rule_hits")).as("rule_hits"))
+      }
     }),
 
     // ---------------- aggregation (#23, #25, #26) ----

@@ -32,25 +32,9 @@ object TrainingProbe {
         println(f"TP $label%-14s #$i ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n)")
       }
     time("kept")(kept.queryExecution.toRdd.count())
-    time("convSummaries")(kept.groupBy("conv_id")
-      .agg(
-        sum(pmod(xxhash64(lit(1), col("turn_idx"), col("scrubbed_text")),
-          lit(1L << 40))).as("fp"),
-        sum(pmod(xxhash64(lit(2), col("turn_idx"), col("scrubbed_text")),
-          lit(1L << 40))).as("fp2"),
-        sum(size(split(col("scrubbed_text"), "\\s+"))).cast("int").as("n_tokens"))
+    time("convSummaries")(TrainingDataJob.convSummaries(kept, "scrubbed_text")
       .queryExecution.toRdd.count())
-    val lsn = new org.apache.spark.scheduler.SparkListener {
-      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        t0.put(j.jobId, (System.nanoTime(),
-          Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
-      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val (s, d) = t0.get(j.jobId)
-        println(f"TPJOB ${j.jobId}%3d ${(System.nanoTime() - s) / 1e9}%6.2f s  $d")
-      }
-    }
-    spark.sparkContext.addSparkListener(lsn)
+    spark.sparkContext.addSparkListener(new JobTimingListener("TPJOB"))
     time("assign-full") {
       val (assigned, res) = TrainingDataJob.assign(spark, kept, maxTokens = 2048)
       res.convsKept

@@ -50,11 +50,16 @@ object QualityPipeline {
     else scorePostWindow(withWindow(turns))
 
   /** True iff `turns` is exactly the synth generator read: attribute-only
-    * projections over SerializeFromObject(MapPartitions(core.GenConvFlat)).
+    * projections over SerializeFromObject(MapPartitions(core.GenConvFlat)),
+    * and the output schema is exactly the six Turn columns in Turn order.
     * Attribute-only Projects can drop/reorder columns but never change
     * rows or row order, so the generator's conversation-contiguity
-    * guarantee survives them; ANY other node fails the match.
+    * guarantee survives them; ANY other node fails the match. The exact
+    * column-list requirement keeps score()'s two paths schema-identical —
+    * a generator frame still carrying extra columns (e.g. genTurns'
+    * `planted`) takes the window path, which preserves them.
     */
+  private val TurnCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
   private def isClusteredGeneratorPlan(turns: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -68,7 +73,7 @@ object QualityPipeline {
       }
       case _ => false
     }
-    chase(turns.queryExecution.analyzed)
+    turns.columns.toSeq == TurnCols && chase(turns.queryExecution.analyzed)
   }
 
   /** Scoring + rules given precomputed window columns (_rn, _prev_idx,

@@ -39,7 +39,7 @@ object TrainingDataJob {
     * (fp, fp2) pair is ~80 bits — collision odds ~n²/2^81, negligible
     * through 10^9+ conversations.
     */
-  private[pipeline] def convSummaries(kept: DataFrame,
+  def convSummaries(kept: DataFrame,
       textCol: String): DataFrame =
     kept.groupBy("conv_id")
       .agg(

@@ -112,7 +112,8 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       Seq("q_dedup_groups", "q_dedup_lines", "q_dedup_lines_nl",
-        "q_dedup_inc_near", "q_bm25", "q_curate_e2e").foreach { q =>
+        "q_dedup_inc_near", "q_bm25", "q_curate_e2e",
+        "q_pipeline_labels", "q_pipeline_mp").foreach { q =>
         // force full planning, not just construction
         SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       }
