@@ -24,7 +24,15 @@ object Explain {
     Sessions.tune(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // the LazyFrame-wrapped compositions explain as a bare thunk scan;
+      // the *_unwrapped pseudo-names print the composed inner plan
+      val df = n match {
+        case "q_pipeline_labels_unwrapped" => SparkEntry.labelsPipeline(spark, sfDir)
+        case "q_pipeline_mp_unwrapped" => SparkEntry.mpPipeline(spark, sfDir)
+        case "q_curate_e2e_unwrapped" => SparkEntry.curatePipeline(spark, sfDir)
+        case _ => SparkEntry.queries(n)(spark, sfDir)
+      }
+      df.explain("formatted")
     }
     spark.stop()
   }

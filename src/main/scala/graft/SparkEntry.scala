@@ -85,6 +85,35 @@ object SparkEntry {
       .select("doc_id", "source", "n_tokens", "n_chunks")
   }
 
+  /** The q_pipeline_labels composition, unwrapped — factored out (like
+    * curatePipeline) so plan captures and audits can inspect the composed
+    * physical plan directly; the driver query wraps it in a LazyFrame so
+    * the eager windowed-corpus checkpoint runs at first action.
+    */
+  private[graft] def labelsPipeline(s: SparkSession, dir: String): DataFrame = {
+    val sorted = QualityPipeline
+      .withWindowClustered(s, SynthStore(synthTurns(dir)).read(s).toDF())
+      .localCheckpoint(true)
+      .orderBy("conv_id", "turn_idx")
+    QualityPipeline.scorePostWindow(sorted)
+      .select(col("conv_id"), col("turn_idx"), col("keep"),
+        concat_ws("|", col("rule_hits")).as("rule_hits"),
+        col("lang"), col("scrubbed_text"))
+  }
+
+  /** q_pipeline_mp's composition, unwrapped (see labelsPipeline). */
+  private[graft] def mpPipeline(s: SparkSession, dir: String): DataFrame = {
+    val sorted = QualityPipeline
+      .withWindowClustered(s,
+        SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
+      .localCheckpoint(true)
+      .orderBy("conv_id", "turn_idx")
+    Scoring.scoreBatchedPostWindow(s, sorted)
+      .toDF()
+      .select(col("conv_id"), col("turn_idx"), col("keep"),
+        concat_ws("|", col("rule_hits")).as("rule_hits"))
+  }
+
   /** Flagship: the full quality-filter pipeline on the t1-scale synthetic
     * corpus; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -119,14 +148,7 @@ object SparkEntry {
         StructField("turn_idx", IntegerType), StructField("keep", BooleanType),
         StructField("rule_hits", StringType), StructField("lang", StringType),
         StructField("scrubbed_text", StringType)))) {
-        val sorted = QualityPipeline
-          .withWindowClustered(s, SynthStore(synthTurns(dir)).read(s).toDF())
-          .localCheckpoint(true)
-          .orderBy("conv_id", "turn_idx")
-        QualityPipeline.scorePostWindow(sorted)
-          .select(col("conv_id"), col("turn_idx"), col("keep"),
-            concat_ws("|", col("rule_hits")).as("rule_hits"),
-            col("lang"), col("scrubbed_text"))
+        labelsPipeline(s, dir)
       }
     }),
     "q_pipeline_mp" -> ((s, dir) => {
@@ -141,15 +163,7 @@ object SparkEntry {
       LazyFrame(s, StructType(Seq(StructField("conv_id", StringType),
         StructField("turn_idx", IntegerType), StructField("keep", BooleanType),
         StructField("rule_hits", StringType)))) {
-        val sorted = QualityPipeline
-          .withWindowClustered(s,
-            SynthStore(math.max(1000L, synthTurns(dir) / 4)).read(s).toDF())
-          .localCheckpoint(true)
-          .orderBy("conv_id", "turn_idx")
-        Scoring.scoreBatchedPostWindow(s, sorted)
-          .toDF()
-          .select(col("conv_id"), col("turn_idx"), col("keep"),
-            concat_ws("|", col("rule_hits")).as("rule_hits"))
+        mpPipeline(s, dir)
       }
     }),
 

@@ -68,6 +68,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted label exports: exactly ONE exchange (the range sort)") {
+    withoutAqe {
+      // the unwrapped q_pipeline_labels / q_pipeline_mp compositions:
+      // clustered windowing + checkpoint replaced the conv_id window hash
+      // exchange, so only the global sort's range exchange remains
+      Seq(SparkEntry.labelsPipeline(spark, sf), SparkEntry.mpPipeline(spark, sf))
+        .foreach { df =>
+          val ex = shuffles(df)
+          assert(ex.size == 1,
+            s"sorted export must shuffle exactly once, got ${ex.size}:\n${ex.mkString("\n")}")
+          assert(ex.head.outputPartitioning.toString.contains("rangepartitioning"),
+            s"the single exchange is not the range sort: ${ex.head}")
+        }
+    }
+  }
+
   test("score() on any non-generator plan falls back to the window path") {
     withoutAqe {
       // a repartition by conv_id preserves conv grouping but is NOT the
